@@ -1,0 +1,201 @@
+"""Typed configuration for the whole framework.
+
+The reference configures models via JSON strings on the CLI splatted into
+constructors (reference: masked_pretraining/train.py:41-42, model.py:7-30).
+Here every knob lives in a dataclass; `from_definition` accepts the same JSON
+dict shape as the reference so CLI surfaces stay compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _filter_kwargs(cls, definition: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in definition.items() if k in names}
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    """Transformer backbone knobs (reference: models/transformers.py:11-12).
+
+    `type` is "vit" (single-matmul patchify) or "vggt" (VGG conv frontend).
+    One output frame per `patch_size[1]` = 8 px of width.
+    """
+
+    type: str = "vit"
+    height: int = 40
+    patch_size: Tuple[int, int] = (40, 8)
+    in_channels: int = 3
+    model_dim: int = 512
+    num_heads: int = 4
+    num_blocks: int = 6
+    feedforward_dim: int = 2048
+    dropout: float = 0.0
+    max_len: int = 4096
+    # PositionalEncoding knobs (reference: models/transformers.py:154-192)
+    random_shift: bool = True
+    # VggTransformerEncoder knobs (reference: models/transformers.py:112-144)
+    base_channels: int = 64
+    num_conv_blocks: int = 4
+    use_pero_vgg: bool = True
+
+    @classmethod
+    def from_definition(cls, definition: dict) -> "BackboneConfig":
+        d = dict(definition)
+        if "patch_size" in d:
+            d["patch_size"] = tuple(d["patch_size"])
+        return cls(**_filter_kwargs(cls, d))
+
+    @property
+    def subsampling(self) -> int:
+        return self.patch_size[1]
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """Projection head (reference: masked_pretraining/model.py:98-105,
+    joint_embedding_pretraining/model.py:69-115)."""
+
+    type: str = "linear"  # "linear" | "mlp"
+    in_features: int = 512
+    out_features: int = 4096
+    # MLP-head knobs
+    hidden_dim: int = 8192
+    num_layers: int = 3
+    use_bn: bool = False
+
+    @classmethod
+    def from_definition(cls, definition: dict) -> "HeadConfig":
+        d = dict(definition)
+        # the reference MLPHead uses in_dim / hidden_dim naming
+        if "in_dim" in d:
+            d["in_features"] = d.pop("in_dim")
+        return cls(**_filter_kwargs(cls, d))
+
+
+@dataclass(frozen=True)
+class VQConfig:
+    """VQ-VAE quantizer (reference: models/autoencoders.py:108-241)."""
+
+    num_embeddings: int = 1024
+    embeddings_dim: int = 512
+    commitment_cost: float = 0.25
+    decay: float = 0.99  # decay > 0 selects EMA codebook updates
+    epsilon: float = 1e-5
+
+
+@dataclass(frozen=True)
+class AutoencoderConfig:
+    """AE / VQ-VAE tokenizer models (reference: models/autoencoders.py:6-80,
+    autoencoders/model.py:3-19)."""
+
+    type: str = "vqvae"  # "ae" | "vqvae"
+    height: int = 40
+    patch_size: Tuple[int, int] = (40, 8)
+    in_channels: int = 3
+    base_channels: int = 64
+    num_conv_blocks: int = 3
+    num_conv_layers: Tuple[int, ...] = (2, 2, 3)
+    decoder_base_channels: int = 256
+    decoder_num_conv_layers: Tuple[int, ...] = (3, 2, 2)
+    dropout: float = 0.0
+    reconstruction_loss: str = "mse"  # "mse"/"l2" | "l1"/"mae"
+    vq: VQConfig = field(default_factory=VQConfig)
+
+    @classmethod
+    def from_definition(cls, definition: dict) -> "AutoencoderConfig":
+        d = dict(definition)
+        vq_kwargs = _filter_kwargs(VQConfig, d)
+        if vq_kwargs:
+            d["vq"] = VQConfig(**vq_kwargs)
+        for key in ("patch_size", "num_conv_layers", "decoder_num_conv_layers"):
+            if key in d:
+                d[key] = tuple(d[key])
+        return cls(**_filter_kwargs(cls, d))
+
+    @property
+    def encoder_out_channels(self) -> int:
+        # reference: models/autoencoders.py:32
+        return self.base_channels * (2 ** (self.num_conv_blocks - 1))
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh. `data` carries batch parallelism (gradient psum over ICI),
+    `model` carries tensor parallelism (attention heads / FFN hidden)."""
+
+    data: int = -1  # -1: use all devices not claimed by `model`
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline (reference: common/dataset.py:12, common/dataloader.py:23).
+
+    Unlike the reference's pad-to-max-in-batch, widths here are static:
+    every batch is `max_width` pixels wide (XLA requires fixed shapes and this
+    avoids re-compilation). Lines are placed with random left padding inside
+    the fixed canvas, exactly mirroring the reference's mask semantics.
+    """
+
+    lmdb_path: str = ""
+    trn_path: str = ""
+    tst_path: str = ""
+    batch_size: int = 16
+    max_width: int = 2048
+    label_step: int = 8
+    subsampling_factor: int = 8
+    padding_coefficient: int = 32
+    fill_width: bool = False
+    exact_width: bool = False
+    pair_images: bool = False
+    crop_width: Optional[int] = None
+    crop_step: int = 1
+    same_left_paddings: bool = False
+    augmentations: Optional[str] = None
+    num_workers: int = 4
+    prefetch: int = 2
+    shuffle: bool = True
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Optimization harness (reference: masked_pretraining/train.py:23-56)."""
+
+    learning_rate: float = 2e-4
+    warmup_iterations: int = 10000
+    warmup_polynomial_order: int = 1
+    start_iteration: int = 0
+    end_iteration: int = 100000
+    view_step: int = 500
+    batch_size: int = 16
+    bfloat16: bool = False
+    masking_prob: float = 0.15
+    unmasked_weight: Optional[float] = None
+    checkpoints_dir: Optional[str] = None
+    visualizations_dir: Optional[str] = None
+    seed: int = 0
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+
+
+def parse_json_definition(text: str) -> dict:
+    """CLI compatibility: the reference passes model definitions as JSON strings
+    (reference: masked_pretraining/train.py:41-42)."""
+    if not text:
+        return {}
+    return json.loads(text)

@@ -1,0 +1,197 @@
+"""Transformer encoder backbones (ViT and VGG-Transformer hybrid).
+
+Behavioral port of the reference backbones (reference:
+models/transformers.py:10-151) redesigned for TPU:
+
+- NHWC input, patchify as reshape + one matmul (MXU-native; ops/patchify.py)
+  instead of a strided Conv2d,
+- batch-major (N, S, D) activations end to end (the reference shuffles through
+  seq-major for torch's encoder stack),
+- post-LN ReLU blocks matching torch.nn.TransformerEncoderLayer defaults so
+  loss curves are comparable,
+- pixel-space patch masking fused into the jitted forward (ops/masking.py),
+- optional bf16 compute with fp32 params and fp32 softmax/layer-norm.
+
+Output: (N, S, model_dim), one frame per 8 px of width. (The reference
+returns (N, D, S) and rearranges in each task model; here the backbone
+returns frames-major directly.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pero_pretraining_tpu.configs import BackboneConfig
+from pero_pretraining_tpu.models.positional import PositionalEncoding
+from pero_pretraining_tpu.models.vgg import PeroVggStack, VggEncoderStack
+from pero_pretraining_tpu.ops.attention import multi_head_attention
+from pero_pretraining_tpu.ops.masking import apply_patch_mask, make_mask_tile
+from pero_pretraining_tpu.ops.patchify import patchify
+
+
+class SelfAttention(nn.Module):
+    """Fused-qkv self-attention, head dim sharded over the `model` mesh axis
+    (parallel/sharding.py rules match the `qkv`/`out` names)."""
+
+    model_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        n, s, d = x.shape
+        head_dim = self.model_dim // self.num_heads
+        qkv = nn.Dense(3 * self.model_dim, name="qkv", dtype=self.dtype)(x)
+        qkv = qkv.reshape(n, s, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        y = multi_head_attention(q, k, v, impl=self.impl)
+        y = y.reshape(n, s, self.model_dim)
+        return nn.Dense(self.model_dim, name="out", dtype=self.dtype)(y)
+
+
+class Mlp(nn.Module):
+    model_dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.Dense(self.hidden_dim, name="fc1", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.model_dim, name="fc2", dtype=self.dtype)(x)
+
+
+class EncoderBlock(nn.Module):
+    """Post-LN block: x = LN(x + attn(x)); x = LN(x + mlp(x)).
+
+    Matches torch.nn.TransformerEncoderLayer defaults (norm_first=False,
+    activation=relu) used by the reference (models/transformers.py:36-43).
+    """
+
+    model_dim: int
+    num_heads: int
+    feedforward_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        h = SelfAttention(
+            self.model_dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl, name="attention"
+        )(x)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
+        h = Mlp(self.model_dim, self.feedforward_dim, self.dropout, dtype=self.dtype, name="mlp")(x, train=train)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
+        return x
+
+
+class TransformerBackbone(nn.Module):
+    """Shared backbone: frontend -> pre-LN -> pos-enc -> encoder blocks.
+
+    Frontend order mirrors the reference (models/transformers.py:82-89): the
+    LayerNorm is applied BEFORE the positional encoding is added.
+    """
+
+    config: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
+
+    def frontend(self, x: jax.Array, *, train: bool) -> jax.Array:
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+    ) -> jax.Array:
+        """x: (N, H, W, C) in [0, 1]; mask: (N, W//8) int (1 = replace patch
+        with the fixed noise tile). Returns (N, S, D)."""
+        cfg = self.config
+        if mask is not None:
+            tile = jnp.asarray(make_mask_tile(cfg.patch_size[0], cfg.patch_size[1], cfg.in_channels))
+            x = apply_patch_mask(x, mask, tile)
+
+        x = x.astype(self.dtype)
+        x = self.frontend(x, train=train)  # (N, S, D)
+
+        x = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(x)
+        x = PositionalEncoding(cfg.model_dim, cfg.max_len, cfg.random_shift, name="positions")(x, train=train)
+        for i in range(cfg.num_blocks):
+            x = EncoderBlock(
+                cfg.model_dim,
+                cfg.num_heads,
+                cfg.feedforward_dim,
+                cfg.dropout,
+                dtype=self.dtype,
+                attention_impl=self.attention_impl,
+                name=f"block{i}",
+            )(x, train=train)
+        return x
+
+
+class VisionTransformerEncoder(TransformerBackbone):
+    """ViT patchify: one (C*H*8 -> D) matmul per frame (reference:
+    models/transformers.py:92-109 uses an equivalent strided Conv2d)."""
+
+    @nn.compact
+    def frontend(self, x: jax.Array, *, train: bool) -> jax.Array:
+        cfg = self.config
+        patches = patchify(x, cfg.patch_size[0], cfg.patch_size[1])
+        return nn.Dense(cfg.model_dim, name="patch_embed", dtype=self.dtype)(patches)
+
+
+class VggTransformerEncoder(TransformerBackbone):
+    """VGG conv frontend + height-collapsing aggregation conv (reference:
+    models/transformers.py:112-151)."""
+
+    @nn.compact
+    def frontend(self, x: jax.Array, *, train: bool) -> jax.Array:
+        cfg = self.config
+        if cfg.use_pero_vgg:
+            x = PeroVggStack(dropout=cfg.dropout, dtype=self.dtype, name="conv_layers")(x, train=train)
+        else:
+            x = VggEncoderStack(
+                base_channels=cfg.base_channels,
+                num_conv_blocks=cfg.num_conv_blocks,
+                num_conv_layers=(2, 2, 3, 2),
+                patch_size=cfg.patch_size,
+                dropout=cfg.dropout,
+                dtype=self.dtype,
+                name="conv_layers",
+            )(x, train=train)
+        # collapse the remaining height to 1 with a (H', 1) VALID conv
+        agg_height = x.shape[1]
+        x = nn.Conv(
+            cfg.model_dim,
+            kernel_size=(agg_height, 1),
+            strides=(1, 1),
+            padding="VALID",
+            name="aggregation",
+            dtype=self.dtype,
+        )(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        return x.squeeze(axis=1)  # (N, 1, S, D) -> (N, S, D)
+
+
+def build_backbone(config: BackboneConfig, *, dtype=jnp.float32, attention_impl: str = "xla") -> TransformerBackbone:
+    if config.type == "vit":
+        return VisionTransformerEncoder(config, dtype=dtype, attention_impl=attention_impl)
+    if config.type == "vggt":
+        return VggTransformerEncoder(config, dtype=dtype, attention_impl=attention_impl)
+    raise ValueError(f"Unknown backbone type: {config.type}")
