@@ -1,0 +1,247 @@
+"""AE and VQ-VAE tokenizer models.
+
+Behavioral port of reference models/autoencoders.py redesigned functionally:
+
+- `VGGEncoder` / `VGGDecoder` — 3-block VGG stacks with a height-collapsing
+  aggregation conv / height-restoring upsample (reference: :6-80). NHWC.
+- `AE` — plain autoencoder; Post-Quantized-AE targets come from k-means over
+  its features afterwards (reference: :83-105).
+- `VectorQuantizer` — nearest-neighbour codebook with straight-through
+  gradients. The reference mutates EMA buffers inside forward
+  (reference: :225-237); here the codebook, `ema_w` and `ema_cluster_size`
+  live in a `vq` variable collection updated functionally when the collection
+  is mutable (training) — the jitted train step threads them explicitly.
+- `VQVAE` — encoder -> 1x1 projection -> VQ -> 1x1 projection -> decoder with
+  recon + VQ loss and per-code usage counts (reference: :108-167).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pero_pretraining_tpu.configs import AutoencoderConfig, VQConfig
+from pero_pretraining_tpu.models.vgg import VggDecoderStack, VggEncoderStack
+from pero_pretraining_tpu.ops.vq import vq_assign, vq_lookup, vq_stats
+
+
+class VGGEncoder(nn.Module):
+    """VGG encoder + (H', 1) aggregation conv collapsing height to 1
+    (reference: models/autoencoders.py:6-47). Output (N, 1, S, C_out)."""
+
+    config: AutoencoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.config
+        x = VggEncoderStack(
+            base_channels=cfg.base_channels,
+            num_conv_blocks=cfg.num_conv_blocks,
+            num_conv_layers=cfg.num_conv_layers,
+            patch_size=cfg.patch_size,
+            dropout=cfg.dropout,
+            dtype=self.dtype,
+            name="encoder",
+        )(x, train=train)
+        agg_height = cfg.height // (2**cfg.num_conv_blocks)
+        x = nn.Conv(
+            cfg.encoder_out_channels,
+            kernel_size=(agg_height, 1),
+            strides=(1, 1),
+            padding="VALID",
+            name="aggregation",
+            dtype=self.dtype,
+        )(x)
+        return x
+
+
+class VGGDecoder(nn.Module):
+    """Height-restoring upsample + mirror VGG decoder (reference:
+    models/autoencoders.py:50-80). Input (N, 1, S, C), output (N, H, W, 3)."""
+
+    config: AutoencoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.config
+        up_height = cfg.height // (2**cfg.num_conv_blocks)
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * up_height, w, c), method="bilinear")
+        x = VggDecoderStack(
+            out_channels=cfg.in_channels,
+            base_channels=cfg.decoder_base_channels,
+            num_conv_blocks=cfg.num_conv_blocks,
+            num_conv_layers=cfg.decoder_num_conv_layers,
+            dropout=cfg.dropout,
+            dtype=self.dtype,
+            name="decoder",
+        )(x, train=train)
+        return x
+
+
+class VectorQuantizer(nn.Module):
+    """Functional EMA vector quantizer (reference: models/autoencoders.py:170-241).
+
+    decay > 0: codebook lives in the mutable `vq` collection and follows the
+    reference's EMA recipe exactly, including the compounding Laplace
+    smoothing of cluster sizes (:226-237). decay == 0: the codebook is a
+    trainable param optimized through the q-latent loss term.
+    """
+
+    num_embeddings: int
+    embeddings_dim: int
+    commitment_cost: float = 0.25
+    decay: float = 0.99
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array, *, train: bool = False):
+        """inputs: (N, H, W, D) NHWC. Returns (quantized (N,H,W,D), indices (N*H*W,))."""
+        shape = inputs.shape
+        flat = inputs.reshape(-1, self.embeddings_dim).astype(jnp.float32)
+
+        if self.decay > 0.0:
+            # EMA mode: normal-init codebook + EMA accumulators, all non-param state
+            embedding = self.variable(
+                "vq", "embedding", nn.initializers.normal(1.0), self.make_rng("params") if self.is_initializing() else None,
+                (self.num_embeddings, self.embeddings_dim),
+            )
+            ema_w = self.variable(
+                "vq", "ema_w", nn.initializers.normal(1.0), self.make_rng("params") if self.is_initializing() else None,
+                (self.num_embeddings, self.embeddings_dim),
+            )
+            ema_cluster_size = self.variable(
+                "vq", "ema_cluster_size", lambda *_: jnp.zeros(self.num_embeddings, jnp.float32), None, None
+            )
+            codebook = embedding.value
+        else:
+            scale = 1.0 / self.num_embeddings
+            codebook = self.param(
+                "embedding",
+                lambda key, shape_: jax.random.uniform(key, shape_, jnp.float32, -scale, scale),
+                (self.num_embeddings, self.embeddings_dim),
+            )
+
+        indices = vq_assign(flat, jax.lax.stop_gradient(codebook))
+        quantized = vq_lookup(indices, codebook).reshape(shape)
+
+        if self.decay > 0.0 and train and not self.is_initializing():
+            counts, dw = vq_stats(indices, flat, self.num_embeddings)
+            new_cluster = ema_cluster_size.value * self.decay + (1.0 - self.decay) * counts
+            n = jnp.sum(new_cluster)
+            # reference stores the SMOOTHED size (compounds across steps, :230-232)
+            new_cluster = (new_cluster + self.epsilon) / (n + self.num_embeddings * self.epsilon) * n
+            new_ema_w = ema_w.value * self.decay + (1.0 - self.decay) * dw
+            ema_cluster_size.value = new_cluster
+            ema_w.value = new_ema_w
+            embedding.value = new_ema_w / new_cluster[:, None]
+
+        # straight-through estimator (reference: :239)
+        quantized = inputs + jax.lax.stop_gradient(quantized.astype(inputs.dtype) - inputs)
+        return quantized, indices
+
+    def calculate_loss(self, tokens: jax.Array, features: jax.Array) -> jax.Array:
+        """VQ loss (reference: :193-202): commitment (+ q-latent in non-EMA mode)."""
+        tokens = tokens.astype(jnp.float32)
+        features = features.astype(jnp.float32)
+        e_latent = jnp.mean((jax.lax.stop_gradient(tokens) - features) ** 2)
+        loss = self.commitment_cost * e_latent
+        if self.decay <= 0.0:
+            q_latent = jnp.mean((tokens - jax.lax.stop_gradient(features)) ** 2)
+            loss = q_latent + loss
+        return loss
+
+
+class AE(nn.Module):
+    """Plain autoencoder (reference: models/autoencoders.py:83-105)."""
+
+    config: AutoencoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = VGGEncoder(self.config, dtype=self.dtype)
+        self.decoder = VGGDecoder(self.config, dtype=self.dtype)
+
+    def encode(self, images, *, train: bool = False):
+        return self.encoder(images, train=train)
+
+    def __call__(self, images: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
+        tokens = self.encoder(images, train=train)
+        reconstructions = self.decoder(tokens, train=train)
+        loss = jnp.mean((images.astype(jnp.float32) - reconstructions.astype(jnp.float32)) ** 2)
+        return {"tokens": tokens, "loss": loss, "reconstructions": reconstructions}
+
+
+class VQVAE(nn.Module):
+    """VQ-VAE tokenizer (reference: models/autoencoders.py:108-167)."""
+
+    config: AutoencoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = VGGEncoder(cfg, dtype=self.dtype)
+        self.decoder = VGGDecoder(cfg, dtype=self.dtype)
+        self.encoder_projection = nn.Conv(cfg.vq.embeddings_dim, kernel_size=(1, 1), name="encoder_projection", dtype=self.dtype)
+        self.decoder_projection = nn.Conv(cfg.decoder_base_channels, kernel_size=(1, 1), name="decoder_projection", dtype=self.dtype)
+        self.vq = VectorQuantizer(
+            num_embeddings=cfg.vq.num_embeddings,
+            embeddings_dim=cfg.vq.embeddings_dim,
+            commitment_cost=cfg.vq.commitment_cost,
+            decay=cfg.vq.decay,
+            epsilon=cfg.vq.epsilon,
+        )
+
+    def encode(self, images, *, train: bool = False):
+        return self.encoder(images, train=train)
+
+    def quantize(self, features, *, train: bool = False):
+        projected = self.encoder_projection(features)
+        tokens, labels = self.vq(projected, train=train)
+        return self.decoder_projection(tokens), labels, tokens, projected
+
+    def __call__(self, images: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
+        cfg = self.config
+        features = self.encode(images, train=train)
+        tokens, labels, vq_tokens, projected = self.quantize(features, train=train)
+        reconstructions = self.decoder(tokens, train=train)
+
+        images32 = images.astype(jnp.float32)
+        recon32 = reconstructions.astype(jnp.float32)
+        if cfg.reconstruction_loss.lower() in ("l2", "mse"):
+            recon_loss = jnp.mean((images32 - recon32) ** 2)
+        elif cfg.reconstruction_loss.lower() in ("l1", "mae"):
+            recon_loss = jnp.mean(jnp.abs(images32 - recon32))
+        else:
+            raise ValueError(f"Unknown reconstruction loss: {cfg.reconstruction_loss}")
+
+        # The reference computes the VQ loss between the decoder-projected
+        # tokens and the raw encoder features — around the 1x1 projections,
+        # not at the quantizer boundary (:131, :144-146, :159). Both are
+        # encoder_out_channels-dim, so the shapes agree.
+        vq_loss = self.vq.calculate_loss(tokens, features)
+        loss = vq_loss + recon_loss
+
+        counts = jnp.bincount(labels, length=cfg.vq.num_embeddings)
+        return {
+            "tokens": tokens,
+            "labels": labels,
+            "loss": loss,
+            "loss.recon": recon_loss,
+            "loss.vq": vq_loss,
+            "reconstructions": reconstructions,
+            "counts": counts,
+        }
+
+
+def build_autoencoder(config: AutoencoderConfig, *, dtype=jnp.float32):
+    if config.type == "ae":
+        return AE(config, dtype=dtype)
+    if config.type == "vqvae":
+        return VQVAE(config, dtype=dtype)
+    raise ValueError(f"Unknown autoencoder type: {config.type}")

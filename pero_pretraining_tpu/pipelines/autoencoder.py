@@ -1,0 +1,64 @@
+"""AE / VQ-VAE tokenizer training pipeline.
+
+Mirrors the reference autoencoders pipeline (reference: autoencoders/train.py,
+trainer.py, model.py) on the generic Trainer. The VQ-VAE's EMA codebook state
+is threaded through the train step via the `vq` variable collection instead of
+the reference's in-forward buffer mutation (models/autoencoders.py:225-237).
+
+Also reports codebook utilization (fraction of codes used per batch and
+usage perplexity) — computed in the reference but never reported
+(autoencoders/train.py:114 TODO).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from pero_pretraining_tpu.configs import AutoencoderConfig, TrainingConfig
+from pero_pretraining_tpu.models.autoencoders import build_autoencoder
+
+
+class AutoencoderTask:
+    def __init__(self, model_config: AutoencoderConfig, training_config: TrainingConfig):
+        self.model_config = model_config
+        self.training_config = training_config
+        dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
+        self.model = build_autoencoder(model_config, dtype=dtype)
+
+    def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
+        init_rng, drop_rng = jax.random.split(rng)
+        images = jnp.asarray(batch["images"][:1], dtype=jnp.float32) / 255.0
+        init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
+        return init({"params": init_rng, "dropout": drop_rng}, images)
+
+    def _apply(self, params, model_state, images, rng, train: bool):
+        variables = {"params": params, **model_state}
+        rngs = {"dropout": rng} if train else None
+        mutable = list(model_state.keys()) if train else False
+        if train and mutable:
+            out, new_state = self.model.apply(variables, images, train=True, rngs=rngs, mutable=mutable)
+            return out, dict(new_state)
+        out = self.model.apply(variables, images, train=train, rngs=rngs)
+        return out, model_state
+
+    def loss_fn(self, params, model_state, batch, rng, train: bool):
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        out, new_model_state = self._apply(params, model_state, images, rng, train)
+
+        metrics = {k: v for k, v in out.items() if k.startswith("loss")}
+        if "counts" in out:
+            counts = out["counts"].astype(jnp.float32)
+            total = jnp.maximum(jnp.sum(counts), 1.0)
+            probs = counts / total
+            entropy = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs), 0.0))
+            metrics["codebook.used_fraction"] = jnp.mean((counts > 0).astype(jnp.float32))
+            metrics["codebook.perplexity"] = jnp.exp(entropy)
+        return out["loss"], (new_model_state, metrics)
+
+    def eval_step(self, params, model_state, batch, rng):
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        out, _ = self._apply(params, model_state, images, rng, train=False)
+        return out["loss"], {}

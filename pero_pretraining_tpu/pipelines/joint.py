@@ -1,0 +1,111 @@
+"""Joint-embedding pretraining (VICReg / NT-Xent) pipeline.
+
+Two augmented/shifted views of each line go through ONE shared-weight
+backbone + head (reference: joint_embedding_pretraining/model.py:33-60 — no
+momentum branch); the loss aligns per-frame embeddings via the collation's
+shift masks. TPU notes: both views are encoded in a single batched forward
+(concatenated on the batch axis — one big matmul stream instead of two), and
+the per-line shifts ride the batch into the fully-vectorized losses.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
+from pero_pretraining_tpu.losses.ntxent import ntxent_loss
+from pero_pretraining_tpu.losses.vicreg import vicreg_loss
+from pero_pretraining_tpu.models.heads import build_head
+from pero_pretraining_tpu.models.transformer import build_backbone
+
+
+class JointEmbeddingModel(nn.Module):
+    backbone_config: BackboneConfig
+    head_config: HeadConfig
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    def setup(self):
+        self.backbone = build_backbone(self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl)
+        self.head = build_head(self.head_config, dtype=self.dtype)
+
+    def __call__(self, images1, images2, *, train: bool = False):
+        """Encode both views with shared weights in one fused forward."""
+        n = images1.shape[0]
+        stacked = jnp.concatenate([images1, images2], axis=0)
+        frames = self.backbone(stacked, None, train=train)
+        out = self.head(frames, train=train)
+        return out[:n], out[n:]
+
+
+class JointEmbeddingTask:
+    def __init__(
+        self,
+        backbone_config: BackboneConfig,
+        head_config: HeadConfig,
+        training_config: TrainingConfig,
+        loss_type: str = "vicreg",
+        attention_impl: str = "xla",
+    ):
+        self.backbone_config = backbone_config
+        self.head_config = head_config
+        self.training_config = training_config
+        if loss_type not in ("vicreg", "ntxent"):
+            raise ValueError(f"Unknown loss type: {loss_type}")
+        self.loss_type = loss_type
+        dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
+        self.model = JointEmbeddingModel(backbone_config, head_config, dtype=dtype, attention_impl=attention_impl)
+
+    def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
+        init_rng, pos_rng, drop_rng = jax.random.split(rng, 3)
+        images1 = jnp.asarray(batch["images"][:1], dtype=jnp.float32) / 255.0
+        images2 = jnp.asarray(batch["images2"][:1], dtype=jnp.float32) / 255.0
+        init = jax.jit(lambda rngs, x1, x2: self.model.init(rngs, x1, x2, train=False))
+        return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images1, images2)
+
+    def _apply(self, params, model_state, images1, images2, rng, train: bool):
+        variables = {"params": params, **model_state}
+        rngs = None
+        if train:
+            pos_rng, drop_rng = jax.random.split(rng)
+            rngs = {"positions": pos_rng, "dropout": drop_rng}
+        mutable = list(model_state.keys()) if train else False
+        if train and mutable:
+            (out1, out2), new_state = self.model.apply(
+                variables, images1, images2, train=True, rngs=rngs, mutable=mutable
+            )
+            return out1, out2, dict(new_state)
+        out1, out2 = self.model.apply(variables, images1, images2, train=train, rngs=rngs)
+        return out1, out2, model_state
+
+    def _loss(self, out1, out2, batch):
+        args = (
+            out1,
+            out2,
+            jnp.asarray(batch["image_masks"]),
+            jnp.asarray(batch["image_masks2"]),
+            jnp.asarray(batch["shift_masks"]),
+            jnp.asarray(batch["shift_masks2"]),
+            jnp.asarray(batch["shifts"]),
+        )
+        if self.loss_type == "vicreg":
+            return vicreg_loss(*args)
+        return ntxent_loss(*args)
+
+    def loss_fn(self, params, model_state, batch, rng, train: bool):
+        images1 = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        images2 = jnp.asarray(batch["images2"], dtype=jnp.float32) / 255.0
+        out1, out2, new_model_state = self._apply(params, model_state, images1, images2, rng, train)
+        losses = self._loss(out1, out2, batch)
+        return losses["loss"], (new_model_state, dict(losses))
+
+    def eval_step(self, params, model_state, batch, rng):
+        images1 = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        images2 = jnp.asarray(batch["images2"], dtype=jnp.float32) / 255.0
+        out1, out2, _ = self._apply(params, model_state, images1, images2, rng, train=False)
+        losses = self._loss(out1, out2, batch)
+        return losses["loss"], {}

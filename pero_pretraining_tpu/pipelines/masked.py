@@ -60,11 +60,10 @@ class MaskedTask:
     def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
         init_rng, pos_rng, drop_rng = jax.random.split(rng, 3)
         images = jnp.asarray(batch["images"][:1], dtype=jnp.float32) / 255.0
-        return self.model.init(
-            {"params": init_rng, "positions": pos_rng, "dropout": drop_rng},
-            images,
-            train=False,
-        )
+        # jit the init: eager tracing dispatches thousands of tiny ops, which
+        # is pathological over a remote-device transport
+        init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
+        return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images)
 
     def _apply(self, params, model_state, images, mask, rng, train: bool):
         variables = {"params": params, **model_state}
