@@ -1,0 +1,167 @@
+"""Fixed-shape batch collation.
+
+Behavioral port of the reference's BatchCreator (common/dataloader.py:22-196)
+with one deliberate change for TPU: the target width is STATIC (`pad_to` or
+`crop_width`), not max-in-batch+32 — XLA compiles once per shape, and a fixed
+canvas is what makes the whole train step one cached program. All mask/shift
+semantics are identical:
+
+- each line lands at a random left padding quantized to the subsampling
+  factor (dataloader.py:85-97),
+- `image_masks` are 1 on real-content frames, 0 on padding (:81, :94-95),
+- paired views get independent left paddings unless `same_left_paddings`,
+  optional random crops with a random relative shift (:106-193),
+- `shift_masks`: 1 = shared region, 0 = not shared, value 2 = shared-but-
+  padding; mask2 is mask1 reversed (:128-138),
+- labels stacked into (N, S) int32 filled with -1, offset by left padding
+  (:56-66).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class BatchCreator:
+    def __init__(
+        self,
+        pad_to: int = 2048,
+        subsampling_factor: int = 8,
+        crop_width: Optional[int] = None,
+        crop_step: int = 1,
+        same_left_paddings: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.pad_to = pad_to
+        self.subsampling_factor = subsampling_factor
+        self.crop_width = crop_width
+        self.crop_step = crop_step
+        self.same_left_paddings = same_left_paddings
+        self.rng = np.random.RandomState(seed)
+
+    # ------------------------------------------------------------------ crops
+    def _crop_image(self, image: np.ndarray, start: Optional[int] = None):
+        if image.shape[1] <= self.crop_width:
+            return image, 0
+        if start is None:
+            diff = image.shape[1] - self.crop_width
+            start = self.rng.randint(0, diff) // self.crop_step * self.crop_step
+        start = int(np.clip(start, 0, image.shape[1] - self.crop_width))
+        return image[:, start : start + self.crop_width, :], start
+
+    def _crop_pair(self, item: Dict) -> int:
+        """Crop both views with a random relative shift (reference:
+        dataloader.py:157-181). Returns the crop shift in frames."""
+        f = self.subsampling_factor
+        item["image_original"] = item["image"]
+        item["image2_original"] = item["image2"]
+
+        item["image"], start = self._crop_image(item["image"])
+        min_shift = -min(start // f, self.crop_width // f - 1)
+        max_shift = max(
+            0, min((item["image_original"].shape[1] - start - self.crop_width) // f, self.crop_width // f - 1)
+        )
+        shift = min_shift if min_shift == max_shift else self.rng.randint(min_shift, max_shift)
+        start += shift * f
+        item["image2"], _ = self._crop_image(item["image2"], start=start)
+        return shift
+
+    # ------------------------------------------------------------------ views
+    def _place(self, canvas: np.ndarray, mask: np.ndarray, image: np.ndarray, left_padding: Optional[int]):
+        """Place a line at a (given or random) left padding; fill the frame
+        mask. Returns the left padding in frames."""
+        f = self.subsampling_factor
+        target = canvas.shape[1]
+        w = image.shape[1]
+        if left_padding is None:
+            left_padding = 0 if w >= target else self.rng.randint(0, target - w) // f
+        lp_px = left_padding * f
+        canvas[:, lp_px : lp_px + w] = image[:, : target - lp_px]
+        mask[:left_padding] = 0
+        mask[left_padding + int(np.ceil(w / f)) :] = 0
+        return left_padding
+
+    # ------------------------------------------------------------------ main
+    def create_batch(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+        f = self.subsampling_factor
+        has_pairs = any(d.get("image2") is not None for d in items)
+
+        if self.crop_width is not None:
+            crop_shifts = [self._crop_pair(d) if has_pairs else 0 for d in items]
+            target = self.crop_width
+        else:
+            crop_shifts = [0] * len(items)
+            target = self.pad_to
+
+        n = len(items)
+        s = target // f
+        height = items[0]["image"].shape[0]
+        channels = items[0]["image"].shape[2]
+
+        images = np.zeros((n, height, target, channels), dtype=np.uint8)
+        image_masks = np.ones((n, s), dtype=np.int32)
+        left_paddings = [
+            self._place(images[i], image_masks[i], items[i]["image"], None) for i in range(n)
+        ]
+
+        target_labels_length = s
+        labels = None
+        if any(d.get("labels") is not None for d in items):
+            labels = np.full((n, target_labels_length), -1, dtype=np.int32)
+            for i, (d, lp) in enumerate(zip(items, left_paddings)):
+                if d.get("labels") is not None:
+                    lab = np.asarray(d["labels"], dtype=np.int32)[: s - lp]
+                    labels[i, lp : lp + len(lab)] = lab
+
+        batch: Dict[str, np.ndarray] = {
+            "images": images,
+            "image_masks": image_masks,
+            "ids": np.asarray([d["image_id"] for d in items], dtype=object),
+        }
+        if labels is not None:
+            batch["labels"] = labels
+
+        if has_pairs:
+            images2 = np.zeros_like(images)
+            image_masks2 = np.ones_like(image_masks)
+            left_paddings2 = []
+            for i in range(n):
+                lp = left_paddings[i] if self.same_left_paddings else None
+                left_paddings2.append(self._place(images2[i], image_masks2[i], items[i]["image2"], lp))
+
+            shifts = np.asarray(
+                [cs + (lp1 - lp2) for cs, lp1, lp2 in zip(crop_shifts, left_paddings, left_paddings2)],
+                dtype=np.int32,
+            )
+            shift_masks1 = np.zeros((n, s), dtype=np.int32)
+            for i, shift in enumerate(shifts):
+                if shift < 0:
+                    shift_masks1[i, :shift] = 1
+                else:
+                    shift_masks1[i, shift:] = 1
+            shift_masks2 = np.copy(shift_masks1[:, ::-1])
+            shift_masks1[(shift_masks1 == 1) & (image_masks == 0)] = 2
+            shift_masks2[(shift_masks2 == 1) & (image_masks2 == 0)] = 2
+
+            batch.update(
+                {
+                    "images2": images2,
+                    "image_masks2": image_masks2,
+                    "shifts": shifts,
+                    "shift_masks": shift_masks1,
+                    "shift_masks2": shift_masks2,
+                }
+            )
+            for key in ("image_original", "image2_original"):
+                if any(key in d for d in items):
+                    out_key = "original_images" if key == "image_original" else "original_images2"
+                    max_w = max(d[key].shape[1] for d in items if key in d)
+                    originals = np.zeros((n, height, max_w, channels), dtype=np.uint8)
+                    for i, d in enumerate(items):
+                        if key in d:
+                            originals[i, :, : d[key].shape[1]] = d[key]
+                    batch[out_key] = originals
+
+        return batch

@@ -1,0 +1,142 @@
+"""Shared CLI wiring for the three training pipelines.
+
+Mirrors the reference's train.py structure (init datasets/testers/
+visualizers/trainer + a view-step handler that checkpoints, evaluates both
+splits, renders PNGs and reports scalars; reference:
+masked_pretraining/train.py:130-216).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pero_pretraining_tpu.configs import DataConfig, TrainingConfig
+from pero_pretraining_tpu.data.augment import build_augmentations
+from pero_pretraining_tpu.data.batching import BatchCreator
+from pero_pretraining_tpu.data.dataset import LinesDataset, PackedDataset
+from pero_pretraining_tpu.data.loader import DataLoader
+from pero_pretraining_tpu.training.checkpoint import (
+    get_checkpoint_path,
+    get_visualization_path,
+    load_checkpoint,
+    save_checkpoint,
+)
+from pero_pretraining_tpu.training.tester import Tester
+from pero_pretraining_tpu.utils.logging import MetricsLogger
+from pero_pretraining_tpu.utils.visualizer import write_png
+
+
+def build_dataset(
+    lines_path: str,
+    data_config: DataConfig,
+    augmentations_name: Optional[str],
+    pair_images: bool,
+):
+    """Dataset-class choice follows the reference's rule: a path containing
+    'lmdb' (or pointing at a KV store) selects the packed/records dataset
+    (reference: masked_pretraining/train.py:80)."""
+    augmentations = build_augmentations(augmentations_name)
+    if "lmdb" in lines_path or lines_path.endswith((".sqlite", ".db")):
+        return PackedDataset(
+            data_config.lmdb_path,
+            lines_path,
+            augmentations=augmentations,
+            pair_images=pair_images,
+            max_width=data_config.max_width,
+            fill_width=data_config.fill_width,
+            exact_width=data_config.exact_width,
+        )
+    return LinesDataset(
+        data_config.lmdb_path,
+        lines_path,
+        augmentations=augmentations,
+        pair_images=pair_images,
+        max_width=data_config.max_width,
+    )
+
+
+def build_loaders(data_config: DataConfig, pair_images: bool = False):
+    trn_dataset = build_dataset(data_config.trn_path, data_config, data_config.augmentations, pair_images)
+    tst_dataset = build_dataset(data_config.tst_path, data_config, None, pair_images)
+
+    creator = BatchCreator(
+        pad_to=data_config.max_width,
+        subsampling_factor=data_config.subsampling_factor,
+        crop_width=data_config.crop_width,
+        crop_step=data_config.crop_step,
+        same_left_paddings=data_config.same_left_paddings,
+        seed=data_config.seed,
+    )
+    trn_loader = DataLoader(
+        trn_dataset, creator, batch_size=data_config.batch_size, shuffle=data_config.shuffle,
+        num_workers=data_config.num_workers, prefetch_batches=data_config.prefetch,
+        seed=data_config.seed,
+    )
+    tst_loader = DataLoader(
+        tst_dataset, creator, batch_size=data_config.batch_size, shuffle=False,
+        num_workers=data_config.num_workers, prefetch_batches=data_config.prefetch,
+    )
+    return trn_loader, tst_loader
+
+
+def report(iteration: int, name: str, result: dict, lr: float, logger: Optional[MetricsLogger] = None) -> None:
+    """Stdout + JSONL scalar reporting (reference: train.py:169-190)."""
+    errors_keys = sorted(
+        [k for k in result if k.startswith("errors_")], key=lambda k: int(k.split("_")[-1])
+    )
+    errors_str = "|".join(f"{result[k]:.4f}" for k in errors_keys)
+    print(f"TEST {name} iteration:{iteration} loss:{result['loss']:.6f} errors:{errors_str} lr:{lr:.6e}")
+    if logger is not None:
+        logger.report_scalar("loss", name, result["loss"], iteration)
+        for key in errors_keys:
+            logger.report_scalar(f"top-{key.split('_')[-1]}_error", name, result[key], iteration)
+
+
+def make_view_step_handler(
+    task,
+    trainer,
+    trn_tester: Tester,
+    tst_tester: Tester,
+    trn_visualizer,
+    tst_visualizer,
+    checkpoints_dir: Optional[str],
+    visualizations_dir: Optional[str],
+    logger: Optional[MetricsLogger] = None,
+):
+    def handler(iteration, state, elapsed, count, metrics):
+        lines = count * trainer.config.batch_size
+        print(
+            f"Iteration: {iteration}, time: {elapsed:.2f} s, speed: {count / elapsed:.2f} it/s "
+            f"({lines / elapsed:.1f} lines/s), loss: {metrics.get('loss', float('nan')):.6f}"
+        )
+        if checkpoints_dir:
+            save_checkpoint(state, get_checkpoint_path(checkpoints_dir, iteration))
+        lr = trainer.current_lr(state)
+        if trn_tester is not None:
+            report(iteration, trn_tester.dataloader.name(), trn_tester.test(state), lr, logger)
+        if tst_tester is not None:
+            report(iteration, tst_tester.dataloader.name(), tst_tester.test(state), lr, logger)
+        if visualizations_dir:
+            if trn_visualizer is not None:
+                write_png(get_visualization_path(visualizations_dir, iteration, "trn"), trn_visualizer.visualize(state))
+            if tst_visualizer is not None:
+                write_png(get_visualization_path(visualizations_dir, iteration, "tst"), tst_visualizer.visualize(state))
+
+    return handler
+
+
+def init_directories(*directories):
+    for directory in directories:
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+
+
+def maybe_resume(trainer, state, training_config: TrainingConfig):
+    """Resume = load the checkpoint at --start-iteration (reference:
+    train.py:243-251), but restoring the FULL train state."""
+    if training_config.start_iteration > 0 and training_config.checkpoints_dir:
+        path = get_checkpoint_path(training_config.checkpoints_dir, training_config.start_iteration)
+        state = load_checkpoint(state, path)
+        print(f"Resumed from {path} at step {int(state.step)}")
+    return state

@@ -1,0 +1,142 @@
+"""Masked pretraining CLI.
+
+Same argparse surface as the reference (masked_pretraining/train.py:23-56),
+including JSON-string --backbone/--head definitions. Run:
+
+    python -m pero_pretraining_tpu.pipelines.train_masked \
+        --trn-labels-file labels.trn --tst-labels-file labels.tst \
+        --lmdb-path images.lmdb --backbone '{"type": "vit"}' ...
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pero_pretraining_tpu.configs import (
+    BackboneConfig,
+    DataConfig,
+    HeadConfig,
+    MeshConfig,
+    TrainingConfig,
+    parse_json_definition,
+)
+from pero_pretraining_tpu.parallel.mesh import create_mesh
+from pero_pretraining_tpu.pipelines.cli_common import (
+    build_loaders,
+    init_directories,
+    make_view_step_handler,
+    maybe_resume,
+)
+from pero_pretraining_tpu.pipelines.masked import MaskedTask
+from pero_pretraining_tpu.pipelines.visualizers import MaskedVisualizer
+from pero_pretraining_tpu.training.tester import Tester
+from pero_pretraining_tpu.training.trainer import Trainer
+from pero_pretraining_tpu.utils.logging import MetricsLogger
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--trn-labels-file", required=True, help="Path to the training labels file.")
+    parser.add_argument("--tst-labels-file", required=True, help="Path to the test labels file.")
+    parser.add_argument("--lmdb-path", required=True, help="Path to the image store (LMDB or sqlite).")
+    parser.add_argument("--augmentations", default=None, help="Augmentation preset (none/universal/light/strong).")
+
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--learning-rate", type=float, default=0.0002)
+    parser.add_argument("--masking-prob", type=float, default=0.15)
+    parser.add_argument("--start-iteration", type=int, default=0)
+    parser.add_argument("--end-iteration", type=int, default=100000)
+    parser.add_argument("--max-line-width", type=int, default=2048)
+    parser.add_argument("--warmup-iterations", type=int, default=10000)
+    parser.add_argument("--fill-width", action="store_true", help="Pack lines to the full width.")
+    parser.add_argument("--exact-width", action="store_true")
+    parser.add_argument("--unmasked-weight", type=float, default=None)
+
+    parser.add_argument("--backbone", type=parse_json_definition, default="{}", help="Backbone JSON definition.")
+    parser.add_argument("--head", type=parse_json_definition, default="{}", help="Head JSON definition.")
+
+    parser.add_argument("--view-step", type=int, default=500)
+    parser.add_argument("--checkpoints", default=None)
+    parser.add_argument("--visualizations", default=None)
+    parser.add_argument("--show-masked-images", action="store_true")
+    parser.add_argument("--bfloat16", action="store_true")
+    parser.add_argument("--metrics-log", default=None, help="JSONL metrics output path.")
+
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--mesh-data", type=int, default=-1, help="Data-parallel mesh axis (-1: all devices).")
+    parser.add_argument("--mesh-model", type=int, default=1, help="Tensor-parallel mesh axis.")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    print(args)
+
+    backbone = BackboneConfig.from_definition(args.backbone)
+    head = HeadConfig.from_definition(args.head)
+    training = TrainingConfig(
+        learning_rate=args.learning_rate,
+        warmup_iterations=args.warmup_iterations,
+        start_iteration=args.start_iteration,
+        end_iteration=args.end_iteration,
+        view_step=args.view_step,
+        batch_size=args.batch_size,
+        bfloat16=args.bfloat16,
+        masking_prob=args.masking_prob,
+        unmasked_weight=args.unmasked_weight,
+        checkpoints_dir=args.checkpoints,
+        visualizations_dir=args.visualizations,
+        seed=args.seed,
+    )
+    data = DataConfig(
+        lmdb_path=args.lmdb_path,
+        trn_path=args.trn_labels_file,
+        tst_path=args.tst_labels_file,
+        batch_size=args.batch_size,
+        max_width=args.max_line_width,
+        fill_width=args.fill_width,
+        exact_width=args.exact_width,
+        augmentations=args.augmentations,
+        num_workers=args.num_workers,
+        seed=args.seed,
+    )
+
+    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    print(f"Mesh: {dict(mesh.shape)}")
+
+    task = MaskedTask(backbone, head, training)
+    trn_loader, tst_loader = build_loaders(data, pair_images=False)
+
+    trn_tester = Tester(task, trn_loader, max_lines=1000)
+    tst_tester = Tester(task, tst_loader)
+    trn_visualizer = MaskedVisualizer(task, trn_loader, show_masked_images=args.show_masked_images)
+    tst_visualizer = MaskedVisualizer(task, tst_loader, show_masked_images=args.show_masked_images)
+
+    init_directories(args.checkpoints, args.visualizations)
+    logger = MetricsLogger(args.metrics_log)
+
+    trainer = Trainer(task, training, mesh=mesh)
+    trainer.on_view_step = make_view_step_handler(
+        task, trainer, trn_tester, tst_tester, trn_visualizer, tst_visualizer,
+        args.checkpoints, args.visualizations, logger,
+    )
+
+    state = trainer.init_state(next(iter(trn_loader)))
+    state = maybe_resume(trainer, state, training)
+    from pero_pretraining_tpu.training.tester import numeric_batch
+
+    batches = (numeric_batch(b) for b in iter_forever(trn_loader))
+    trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration)
+    print("Training finished")
+    logger.close()
+    return 0
+
+
+def iter_forever(loader):
+    while True:
+        yield from loader
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
