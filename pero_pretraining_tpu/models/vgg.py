@@ -104,6 +104,34 @@ class PeroVggStack(nn.Module):
         return x
 
 
+class PeroVggEncoder(nn.Module):
+    """PERO-OCR transfer-learning feature extractor: the PERO conv stack plus
+    a height-collapsing aggregation conv to `out_channels` features per 8-px
+    frame (reference: create_pero_vgg_encoder, models/helpers.py:133-173 —
+    minus the nested wrapper classes that only exist to match torch
+    state-dict key names). Used as the frozen encoder for Feature
+    Quantization targets (SURVEY.md §2.6)."""
+
+    out_channels: int = 768
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = PeroVggStack(dropout=self.dropout, dtype=self.dtype, name="blocks_2d")(x, train=train)
+        agg_height = x.shape[1]
+        x = nn.Conv(
+            self.out_channels,
+            kernel_size=(agg_height, 1),
+            strides=(1, 1),
+            padding="VALID",
+            name="aggregation_conv",
+            dtype=self.dtype,
+        )(x)
+        x = nn.leaky_relu(x, negative_slope=0.01)
+        return x  # (N, 1, S, out_channels)
+
+
 class VggDecoderStack(nn.Module):
     """Mirror decoder with bilinear upsampling (reference: models/helpers.py:59-94).
 

@@ -1,0 +1,93 @@
+"""Minibatch k-means on device.
+
+TPU-native replacement for the reference's sklearn MiniBatchKMeans
+(reference: scripts/fit_kmeans.py:11-32, k=4096, batch 2^14, k-means++ init):
+assignment is the same MXU distance matmul as VQ (ops/vq.py); centroid
+updates follow the MiniBatchKMeans rule (per-center learning rate 1/total
+count). The update step is one jitted program per minibatch.
+
+A sklearn backend remains available in scripts/fit_kmeans.py for
+bit-compatible parity with reference-produced artifacts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pero_pretraining_tpu.ops.vq import vq_assign, vq_stats
+
+
+def kmeans_plus_plus_init(rng: np.random.RandomState, data: np.ndarray, k: int, sample_size: int = 2**15) -> np.ndarray:
+    """k-means++ seeding on a host-side subsample (the classic D^2 sampling).
+    Runs the distance updates on device in one jitted function per center."""
+    if len(data) > sample_size:
+        idx = rng.choice(len(data), sample_size, replace=False)
+        data = data[idx]
+    data_dev = jnp.asarray(data, dtype=jnp.float32)
+
+    centers = np.empty((k, data.shape[1]), dtype=np.float32)
+    centers[0] = data[rng.randint(len(data))]
+
+    @jax.jit
+    def min_dist_update(current_min, center):
+        d = jnp.sum((data_dev - center[None, :]) ** 2, axis=1)
+        return jnp.minimum(current_min, d)
+
+    min_d = jnp.full((len(data),), np.inf, dtype=jnp.float32)
+    for i in range(1, k):
+        min_d = min_dist_update(min_d, jnp.asarray(centers[i - 1]))
+        probs = np.asarray(min_d)
+        total = probs.sum()
+        if total <= 0:
+            centers[i] = data[rng.randint(len(data))]
+            continue
+        centers[i] = data[rng.choice(len(data), p=probs / total)]
+    return centers
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _minibatch_update(centers: jax.Array, counts: jax.Array, batch: jax.Array):
+    """One MiniBatchKMeans step: assign, then per-center convex update with
+    learning rate (batch count) / (total count)."""
+    idx = vq_assign(batch, centers)
+    batch_counts, sums = vq_stats(idx, batch, centers.shape[0])
+    new_counts = counts + batch_counts
+    lr = jnp.where(new_counts > 0, batch_counts / jnp.maximum(new_counts, 1.0), 0.0)
+    batch_means = sums / jnp.maximum(batch_counts, 1.0)[:, None]
+    new_centers = jnp.where(
+        (batch_counts > 0)[:, None], centers * (1.0 - lr[:, None]) + batch_means * lr[:, None], centers
+    )
+    inertia = jnp.sum((batch - jnp.take(new_centers, idx, axis=0)) ** 2)
+    return new_centers, new_counts, inertia
+
+
+def fit_minibatch_kmeans(
+    data: np.ndarray,
+    k: int,
+    batch_size: int = 2**14,
+    epochs: int = 100,
+    seed: int = 0,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, float]:
+    """Returns (centers (k, D) float32, final-epoch inertia estimate)."""
+    rng = np.random.RandomState(seed)
+    data = np.asarray(data, dtype=np.float32)
+    centers = jnp.asarray(kmeans_plus_plus_init(rng, data, k))
+    counts = jnp.zeros((k,), dtype=jnp.float32)
+
+    inertia = 0.0
+    for epoch in range(epochs):
+        order = rng.permutation(len(data))
+        inertia = 0.0
+        for start in range(0, len(data) - batch_size + 1, batch_size):
+            batch = jnp.asarray(data[order[start : start + batch_size]])
+            centers, counts, batch_inertia = _minibatch_update(centers, counts, batch)
+            inertia += float(batch_inertia)
+        if verbose:
+            print(f"epoch {epoch}: inertia {inertia:.1f}")
+    return np.asarray(centers), inertia

@@ -1,0 +1,65 @@
+"""FQ step 1 / PQ-AE step 1: dump per-frame features from a frozen encoder.
+
+Runs the frozen encoder (PERO VGG transfer model or a trained AE encoder)
+over a lines file, keeps only real-content frames (image_masks == 1), stacks
+to (total_frames, dim) and saves .npy or pickle (reference:
+scripts/produce_features.py:25-78).
+
+    python -m pero_pretraining_tpu.scripts.produce_features \
+        --model-definition pero_vgg --checkpoint-path model.msgpack \
+        --lines-path lines.trn --lmdb-path images.lmdb --output features.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from pero_pretraining_tpu.scripts.common import init_dataset, init_feature_model, save_numpy, save_pickle
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--checkpoint-path", default=None, help="Path to the model checkpoint (msgpack).")
+    parser.add_argument("--model-definition", default="pero_vgg", help='"pero_vgg" or an AE/VQ-VAE JSON definition.')
+    parser.add_argument("--lines-path", required=True)
+    parser.add_argument("--lmdb-path", required=True)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--max-line-width", type=int, default=2048)
+    parser.add_argument("--output-type", default="numpy", choices=["numpy", "pickle"])
+    parser.add_argument("--output", required=True)
+    return parser.parse_args()
+
+
+def compute_features(encode, loader) -> np.ndarray:
+    all_features = []
+    for batch in loader:
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        frames = np.asarray(encode(images), dtype=np.float32)  # (N, S, D)
+        all_features.append(frames[batch["image_masks"] == 1])
+    return np.vstack(all_features)
+
+
+def main():
+    args = parse_arguments()
+
+    encode = init_feature_model(args.model_definition, args.checkpoint_path)
+    print("Model loaded")
+    loader = init_dataset(args.lmdb_path, args.lines_path, args.batch_size, max_width=args.max_line_width)
+    print("Dataset loaded")
+
+    features = compute_features(encode, loader)
+    print(f"Features computed ({features.shape})")
+
+    if args.output_type == "numpy":
+        save_numpy(features, args.output)
+    else:
+        save_pickle(features, args.output)
+    print(f"Features saved to {args.output} ({args.output_type})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

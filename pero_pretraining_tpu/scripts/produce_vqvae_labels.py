@@ -1,0 +1,73 @@
+"""VQ-VAE targets: run a trained VQ-VAE's encoder + quantizer over a lines
+file and write the code indices as a labels file.
+
+(reference: scripts/produce_vqvae_labels.py:27-72, with its --labels-path /
+args.output mismatch fixed.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pero_pretraining_tpu.configs import AutoencoderConfig
+from pero_pretraining_tpu.models.autoencoders import build_autoencoder
+from pero_pretraining_tpu.scripts.common import init_dataset, load_checkpoint_tree, save_labels, split_variables
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--lines-path", required=True)
+    parser.add_argument("--lmdb-path", required=True)
+    parser.add_argument("--model", required=True, help="VQ-VAE JSON definition.")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--max-line-width", type=int, default=2048)
+    parser.add_argument("--checkpoint-path", required=True)
+    parser.add_argument("--labels-path", required=True, help="Output labels file.")
+    return parser.parse_args()
+
+
+def compute_labels(model, variables, loader):
+    @jax.jit
+    def quantize(variables, images):
+        features = model.apply(variables, images, train=False, method=model.encode)
+        _, labels, _, _ = model.apply(variables, features, train=False, method=model.quantize)
+        n, _, s, _ = features.shape
+        return labels.reshape(n, s)
+
+    variables = jax.device_put(variables)
+    data = {}
+    for batch in loader:
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        labels = np.asarray(quantize(variables, images))
+        for line_id, line_mask, line_labels in zip(batch["ids"], batch["image_masks"], labels):
+            data[line_id] = line_labels[line_mask == 1].tolist()
+    return data
+
+
+def main():
+    args = parse_arguments()
+
+    config = AutoencoderConfig.from_definition(json.loads(args.model))
+    model = build_autoencoder(config)
+    params, model_state = split_variables(load_checkpoint_tree(args.checkpoint_path))
+    variables = {"params": params, **model_state}
+    print("Model loaded")
+
+    loader = init_dataset(args.lmdb_path, args.lines_path, args.batch_size, max_width=args.max_line_width)
+    print("Dataset loaded")
+
+    labels = compute_labels(model, variables, loader)
+    print(f"Labels computed ({len(labels)})")
+
+    save_labels(labels, args.labels_path)
+    print(f"Labels saved to {args.labels_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

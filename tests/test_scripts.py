@@ -1,0 +1,215 @@
+"""Offline toolchain tests: the full FQ pipeline (features -> k-means ->
+labels -> masked training input), VQ-VAE labels, dataset conversion/merging,
+and n-gram analysis — all through the CLI mains."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pero_pretraining_tpu.data.dataset import encode_image
+from pero_pretraining_tpu.data.storage import SqliteStore, open_store
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    store_path = str(tmp_path / "images.sqlite")
+    lines_path = str(tmp_path / "lines.txt")
+    store = SqliteStore(store_path, readonly=False)
+    with open(lines_path, "w") as f:
+        for i in range(10):
+            w = int(rng.randint(100, 300))
+            img = rng.randint(0, 256, size=(40, w, 3)).astype(np.uint8)
+            image_id = f"line_{i:03d}.png"
+            store.put(image_id, encode_image(img, ".png"))
+            f.write(f"{image_id}\n")
+    store.commit()
+    store.close()
+    return store_path, lines_path
+
+
+def _run(main, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", argv)
+    assert main() == 0
+
+
+AE_DEF = '{"type":"ae","base_channels":8,"decoder_base_channels":32}'
+
+
+def test_fq_toolchain_end_to_end(corpus, tmp_path, monkeypatch):
+    """produce_features -> fit_kmeans (jax) -> produce_kmeans_labels."""
+    from pero_pretraining_tpu.scripts.produce_features import main as produce_features
+    from pero_pretraining_tpu.scripts.fit_kmeans import main as fit_kmeans
+    from pero_pretraining_tpu.scripts.produce_kmeans_labels import main as produce_labels
+
+    store_path, lines_path = corpus
+    features_path = str(tmp_path / "features.npy")
+    _run(
+        produce_features,
+        ["pf", "--model-definition", AE_DEF, "--lines-path", lines_path, "--lmdb-path", store_path,
+         "--batch-size", "4", "--max-line-width", "320", "--output", features_path],
+        monkeypatch,
+    )
+    features = np.load(features_path)
+    assert features.ndim == 2 and features.shape[0] > 0
+
+    kmeans_path = str(tmp_path / "kmeans.npy")
+    _run(
+        fit_kmeans,
+        ["fk", "--dataset", features_path, "--k", "16", "--batch-size", "64", "--iters", "3",
+         "--output", kmeans_path],
+        monkeypatch,
+    )
+    centers = np.load(kmeans_path)
+    assert centers.shape == (16, features.shape[1])
+
+    labels_path = str(tmp_path / "labels.trn")
+    _run(
+        produce_labels,
+        ["pkl", "--model-definition", AE_DEF, "--kmeans-path", kmeans_path, "--lines-path", lines_path,
+         "--lmdb-path", store_path, "--batch-size", "4", "--max-line-width", "320", "--output", labels_path],
+        monkeypatch,
+    )
+    lines = [l.split() for l in open(labels_path) if l.strip()]
+    assert len(lines) == 10
+    for parts in lines:
+        assert all(0 <= int(x) < 16 for x in parts[1:])
+        assert len(parts) > 1  # every line got labels for its real frames
+
+
+def test_jax_kmeans_quality(rng):
+    """TPU minibatch k-means must reach sklearn-comparable inertia on
+    well-separated clusters and recover the cluster structure."""
+    from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
+    from sklearn.cluster import MiniBatchKMeans
+
+    true_centers = rng.randn(8, 16).astype(np.float32) * 10
+    data = np.vstack([true_centers[i] + rng.randn(200, 16).astype(np.float32) for i in range(8)])
+
+    centers, _ = fit_minibatch_kmeans(data, 8, batch_size=256, epochs=10, seed=0)
+    sk = MiniBatchKMeans(n_clusters=8, batch_size=256, n_init=5, random_state=0).fit(data)
+
+    def inertia(c):
+        d = ((data[:, None, :] - c[None]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    ours, theirs = inertia(centers), inertia(sk.cluster_centers_)
+    assert ours < theirs * 1.05  # within 5% of sklearn
+
+
+def test_vqvae_labels_script(corpus, tmp_path, monkeypatch):
+    from pero_pretraining_tpu.scripts.produce_vqvae_labels import main as produce_vqvae
+
+    store_path, lines_path = corpus
+    vq_def = '{"type":"vqvae","base_channels":8,"decoder_base_channels":32,"num_embeddings":16,"embeddings_dim":8}'
+
+    # make a checkpoint by initializing a model and saving params
+    import jax
+    from flax import serialization
+    from pero_pretraining_tpu.configs import AutoencoderConfig
+    from pero_pretraining_tpu.models.autoencoders import build_autoencoder
+
+    model = build_autoencoder(AutoencoderConfig.from_definition(json.loads(vq_def)))
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), np.zeros((1, 40, 64, 3), np.float32), train=False)
+    )()
+    ckpt_path = str(tmp_path / "vqvae.msgpack")
+    with open(ckpt_path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(dict(variables))))
+
+    labels_path = str(tmp_path / "vq_labels.trn")
+    _run(
+        produce_vqvae,
+        ["pvl", "--lines-path", lines_path, "--lmdb-path", store_path, "--model", vq_def,
+         "--batch-size", "4", "--max-line-width", "320", "--checkpoint-path", ckpt_path,
+         "--labels-path", labels_path],
+        monkeypatch,
+    )
+    lines = [l.split() for l in open(labels_path) if l.strip()]
+    assert len(lines) == 10
+    assert all(0 <= int(x) < 16 for parts in lines for x in parts[1:])
+
+
+def test_convert_and_merge(tmp_path, rng, monkeypatch):
+    from pero_pretraining_tpu.scripts.convert_gt_to_lmdb import main as convert
+    from pero_pretraining_tpu.scripts.merge_lines_dataset import main as merge
+    from pero_pretraining_tpu.data.dataset import PackedDataset
+
+    # gt file + image store
+    store_path = str(tmp_path / "images.sqlite")
+    store = SqliteStore(store_path, readonly=False)
+    gt_path = str(tmp_path / "gt.txt")
+    with open(gt_path, "w") as f:
+        for i in range(30):
+            w = 80
+            img = rng.randint(0, 256, size=(40, w, 3)).astype(np.uint8)
+            image_id = f"img_{i:02d}.png"
+            store.put(image_id, encode_image(img, ".png"))
+            labels = rng.randint(1, 50, size=w // 8).tolist()
+            f.write(f"{image_id} {' '.join(map(str, labels))}\n")
+    store.commit()
+    store.close()
+
+    records_path = str(tmp_path / "records.sqlite")
+    _run(convert, ["cv", "--input", gt_path, "--output", records_path], monkeypatch)
+    with open_store(records_path) as rs:
+        assert len(rs) == 30
+        rec = json.loads(rs.get(f"{0:10d}"))
+        assert rec["image"] == "img_00.png"
+
+    trn_path = str(tmp_path / "merged_trn.sqlite")
+    tst_path = str(tmp_path / "merged_tst.sqlite")
+    _run(
+        merge,
+        ["mg", "--input", records_path, "--trn-output", trn_path, "--tst-output", tst_path,
+         "--tst-target-size", "2", "--min-length", "30"],
+        monkeypatch,
+    )
+    with open_store(trn_path) as ts:
+        n_trn = len(ts)
+        merged = json.loads(ts.get(f"{0:10d}"))
+        assert len(merged["labels"]) >= 30
+        assert len(merged["images"]) >= 2  # actually concatenated
+    assert n_trn > 0
+
+    # merged records feed PackedDataset in fill_width mode
+    ds = PackedDataset(store_path, trn_path, fill_width=True, max_width=512)
+    item = ds[0]
+    assert item["image"].shape[1] <= 512
+
+
+def test_ngram_tools(tmp_path, rng, monkeypatch):
+    from pero_pretraining_tpu.scripts.calculate_ngrams import main as calc
+    from pero_pretraining_tpu.scripts.visualize_ngrams import main as vis
+
+    store_path = str(tmp_path / "images.sqlite")
+    store = SqliteStore(store_path, readonly=False)
+    labels_path = str(tmp_path / "labels.txt")
+    with open(labels_path, "w") as f:
+        for i in range(8):
+            w = 160
+            img = rng.randint(0, 256, size=(40, w, 3)).astype(np.uint8)
+            image_id = f"l{i}.png"
+            store.put(image_id, encode_image(img, ".png"))
+            labels = (rng.randint(0, 4, size=w // 8)).tolist()  # small vocab -> repeated ngrams
+            f.write(f"{image_id} {' '.join(map(str, labels))}\n")
+    store.commit()
+    store.close()
+
+    ngrams_path = str(tmp_path / "ngrams.txt")
+    _run(calc, ["cn", "--labels", labels_path, "--output", ngrams_path, "--n", "3", "--top", "10"], monkeypatch)
+    rows = [l for l in open(ngrams_path) if l.strip()]
+    assert 0 < len(rows) <= 10
+    counts = [int(r.split("\t")[1]) for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+    collage_path = str(tmp_path / "collage.png")
+    _run(
+        vis,
+        ["vn", "--labels", labels_path, "--ngrams", ngrams_path, "--lmdb", store_path,
+         "--crops-per-line", "4", "--output", collage_path],
+        monkeypatch,
+    )
+    assert os.path.exists(collage_path)
