@@ -24,6 +24,33 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
+class CTCBatchCreator:
+    """Collation for CTC fine-tuning: images via the base BatchCreator, plus
+    charset-encoded label sequences padded to `max_label_len` with 0 and a
+    float padding mask (1 = padded) in the optax.ctc_loss convention."""
+
+    def __init__(self, charset, base: "BatchCreator", max_label_len: int = 256):
+        self.charset = charset
+        self.base = base
+        self.max_label_len = max_label_len
+
+    def create_batch(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+        batch = self.base.create_batch(items)
+        n = len(items)
+        labels = np.zeros((n, self.max_label_len), dtype=np.int32)
+        paddings = np.ones((n, self.max_label_len), dtype=np.float32)
+        texts = []
+        for i, item in enumerate(items):
+            ids = self.charset.encode(item["text"])[: self.max_label_len]
+            labels[i, : len(ids)] = ids
+            paddings[i, : len(ids)] = 0.0
+            texts.append(item["text"])
+        batch["ctc_labels"] = labels
+        batch["ctc_label_paddings"] = paddings
+        batch["texts"] = texts
+        return batch
+
+
 class BatchCreator:
     def __init__(
         self,

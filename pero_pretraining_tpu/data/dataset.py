@@ -164,6 +164,64 @@ class LinesDataset:
         return {"image": image, "image2": image2, "labels": labels, "image_id": image_id}
 
 
+class TranscriptionDataset:
+    """(image store, transcription file) dataset for CTC fine-tuning.
+
+    Transcription rows: `"<image_id>\\t<text>"` (tab-separated; text may
+    contain spaces). Items carry the raw text; charset encoding happens in
+    collation (data/batching.py CTCBatchCreator).
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        transcriptions_path: str,
+        augmentations: Optional[Callable] = None,
+        max_width: int = 2048,
+    ):
+        self.store_path = store_path
+        self.transcriptions_path = transcriptions_path
+        self.augmentations = augmentations
+        self.max_width = max_width
+
+        self._items: List[Tuple[str, str]] = []
+        with open(transcriptions_path, "r") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                if "\t" in line:
+                    image_id, text = line.split("\t", 1)
+                else:
+                    image_id, _, text = line.partition(" ")
+                self._items.append((image_id, text))
+        self._store: Optional[KVStore] = None
+
+    def name(self) -> str:
+        return os.path.basename(self.transcriptions_path)
+
+    def texts(self) -> List[str]:
+        return [t for _, t in self._items]
+
+    def store(self) -> KVStore:
+        if self._store is None:
+            self._store = open_store(self.store_path)
+        return self._store
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def __getitem__(self, idx: int) -> Dict:
+        image_id, text = self._items[idx]
+        data = self.store().get(image_id)
+        if data is None:
+            raise KeyError(f"image '{image_id}' not in store '{self.store_path}'")
+        image = decode_image(data)[:, : self.max_width]
+        if self.augmentations is not None:
+            image = self.augmentations(image=image)
+        return {"image": image, "image2": None, "labels": None, "text": text, "image_id": image_id}
+
+
 class PackedDataset:
     """Dataset over a records KV store (JSON per line), with `fill_width`
     packing (reference DatasetLMDB, common/dataset.py:108-267)."""

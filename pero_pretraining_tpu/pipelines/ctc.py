@@ -1,0 +1,158 @@
+"""CTC fine-tuning: pretrained backbone -> character logits -> CTC loss/CER.
+
+Closes the downstream-transfer loop the reference delegates to external
+PERO-OCR code (reference README.md:9): load a pretrained backbone (masked or
+joint-embedding checkpoint), put a fresh linear head over the charset
+(+blank), train with CTC, and evaluate greedy-decode character error rate.
+
+TPU notes: optax.ctc_loss runs fully batched on fixed shapes; frame paddings
+come straight from the collation's image_masks; greedy decode is an argmax on
+device with host-side collapse only for the decoded strings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pero_pretraining_tpu.configs import BackboneConfig, TrainingConfig
+from pero_pretraining_tpu.models.transformer import build_backbone
+from pero_pretraining_tpu.utils.text import BLANK_ID, Charset, character_error_rate, collapse_ctc
+
+
+class CTCModel(nn.Module):
+    backbone_config: BackboneConfig
+    num_classes: int  # charset size incl. blank
+    dtype: Any = jnp.float32
+    attention_impl: str = "xla"
+
+    def setup(self):
+        self.backbone = build_backbone(self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl)
+        self.head = nn.Dense(self.num_classes, name="ctc_head", dtype=self.dtype)
+
+    def __call__(self, images, *, train: bool = False):
+        frames = self.backbone(images, None, train=train)  # (N, S, D)
+        return self.head(frames)  # (N, S, num_classes)
+
+
+class CTCTask:
+    def __init__(
+        self,
+        backbone_config: BackboneConfig,
+        charset: Charset,
+        training_config: TrainingConfig,
+        attention_impl: str = "xla",
+    ):
+        self.backbone_config = backbone_config
+        self.charset = charset
+        self.training_config = training_config
+        dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
+        self.model = CTCModel(backbone_config, num_classes=len(charset), dtype=dtype, attention_impl=attention_impl)
+
+    # Trainer protocol -------------------------------------------------------
+    def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
+        init_rng, pos_rng, drop_rng = jax.random.split(rng, 3)
+        images = jnp.asarray(batch["images"][:1], dtype=jnp.float32) / 255.0
+        init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
+        return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images)
+
+    def load_pretrained_backbone(self, variables, checkpoint_path: str):
+        """Graft the backbone subtree from a pretraining checkpoint (masked or
+        joint-embedding; both store params under 'backbone')."""
+        from pero_pretraining_tpu.scripts.common import load_checkpoint_tree, split_variables
+
+        params, model_state = split_variables(load_checkpoint_tree(checkpoint_path))
+        if "backbone" not in params:
+            raise ValueError(f"checkpoint {checkpoint_path} has no 'backbone' params")
+        variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+        new_params = dict(variables["params"])
+        new_params["backbone"] = params["backbone"]
+        out = {"params": new_params}
+        for key, value in variables.items():
+            if key != "params":
+                out[key] = value
+        # batch_stats (VggT) ride along when present in the checkpoint
+        if "batch_stats" in model_state and "batch_stats" in out:
+            bs = dict(out["batch_stats"])
+            if "backbone" in model_state["batch_stats"]:
+                bs["backbone"] = model_state["batch_stats"]["backbone"]
+            out["batch_stats"] = bs
+        return out
+
+    def _apply(self, params, model_state, images, rng, train: bool):
+        variables = {"params": params, **model_state}
+        rngs = None
+        if train:
+            pos_rng, drop_rng = jax.random.split(rng)
+            rngs = {"positions": pos_rng, "dropout": drop_rng}
+        mutable = list(model_state.keys()) if train else False
+        if train and mutable:
+            logits, new_state = self.model.apply(variables, images, train=True, rngs=rngs, mutable=mutable)
+            return logits, dict(new_state)
+        logits = self.model.apply(variables, images, train=train, rngs=rngs)
+        return logits, model_state
+
+    def _ctc_loss(self, logits, batch):
+        # frames outside real content are padding for CTC
+        logit_paddings = 1.0 - jnp.asarray(batch["image_masks"], jnp.float32)
+        labels = jnp.asarray(batch["ctc_labels"])
+        label_paddings = jnp.asarray(batch["ctc_label_paddings"], jnp.float32)
+        per_seq = optax.ctc_loss(
+            logits.astype(jnp.float32), logit_paddings, labels, label_paddings, blank_id=BLANK_ID
+        )
+        label_lengths = jnp.maximum(jnp.sum(1.0 - label_paddings, axis=-1), 1.0)
+        return jnp.mean(per_seq / label_lengths)
+
+    def loss_fn(self, params, model_state, batch, rng, train: bool):
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        logits, new_model_state = self._apply(params, model_state, images, rng, train)
+        loss = self._ctc_loss(logits, batch)
+        return loss, (new_model_state, {"loss": loss})
+
+    # Evaluation -------------------------------------------------------------
+    def eval_step(self, params, model_state, batch, rng):
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        logits, _ = self._apply(params, model_state, images, rng, train=False)
+        loss = self._ctc_loss(logits, batch)
+        # greedy path: argmax per frame; padding frames forced to blank
+        path = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+        path = jnp.where(jnp.asarray(batch["image_masks"]) == 1, path, BLANK_ID)
+        return loss, {"path": path}
+
+    def decode_paths(self, paths: np.ndarray) -> List[str]:
+        return [self.charset.decode(collapse_ctc(row)) for row in np.asarray(paths)]
+
+
+class CTCTester:
+    """Loss + greedy-decode CER over a dataloader."""
+
+    def __init__(self, task: CTCTask, dataloader, max_lines: Optional[int] = None):
+        self.task = task
+        self.dataloader = dataloader
+        self.max_lines = max_lines
+        self._eval = jax.jit(task.eval_step)
+
+    def test(self, state) -> Dict[str, float]:
+        from pero_pretraining_tpu.training.tester import numeric_batch
+
+        total_loss, num_batches, num_lines = 0.0, 0, 0
+        hypotheses: List[str] = []
+        references: List[str] = []
+        for batch in self.dataloader:
+            loss, aux = self._eval(state.params, state.model_state, numeric_batch(batch), jax.random.PRNGKey(0))
+            total_loss += float(loss)
+            hypotheses.extend(self.task.decode_paths(aux["path"]))
+            references.extend(batch["texts"])
+            num_lines += batch["images"].shape[0]
+            num_batches += 1
+            if self.max_lines is not None and num_lines > self.max_lines:
+                break
+        return {
+            "loss": total_loss / max(num_batches, 1),
+            "cer": character_error_rate(hypotheses, references),
+        }

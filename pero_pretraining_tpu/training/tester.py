@@ -32,6 +32,8 @@ _NUMERIC_KEYS = (
     "shift_masks2",
     "labels",
     "mask",
+    "ctc_labels",
+    "ctc_label_paddings",
 )
 
 
