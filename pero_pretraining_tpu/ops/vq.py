@@ -24,8 +24,15 @@ def vq_distances(x: jax.Array, codebook: jax.Array) -> jax.Array:
     codebook = codebook.astype(jnp.float32)
     x2 = jnp.sum(x**2, axis=1, keepdims=True)  # (R, 1)
     e2 = jnp.sum(codebook**2, axis=1)  # (K,)
+    # HIGHEST precision: assignments must be reproducible across backends
+    # (north-star "bit-comparable quantized targets", BASELINE.md) — default
+    # TPU matmul precision feeds the MXU bf16 inputs, which can flip argmins
     cross = jax.lax.dot_general(
-        x, codebook, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x,
+        codebook,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (R, K)
     return x2 + e2[None, :] - 2.0 * cross
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import argparse
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,4 +64,7 @@ def main():
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # offline targets must be bit-comparable across backends (BASELINE.md):
+    # force fp32 MXU matmuls for the frozen encoders and assignments
+    with jax.default_matmul_precision("highest"):
+        raise SystemExit(main())

@@ -70,4 +70,7 @@ def main():
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # offline targets must be bit-comparable across backends (BASELINE.md):
+    # force fp32 MXU matmuls for the frozen encoders and assignments
+    with jax.default_matmul_precision("highest"):
+        raise SystemExit(main())
