@@ -60,6 +60,7 @@ class BatchCreator:
         crop_step: int = 1,
         same_left_paddings: bool = False,
         seed: Optional[int] = None,
+        use_native: bool = True,
     ):
         self.pad_to = pad_to
         self.subsampling_factor = subsampling_factor
@@ -67,6 +68,14 @@ class BatchCreator:
         self.crop_step = crop_step
         self.same_left_paddings = same_left_paddings
         self.rng = np.random.RandomState(seed)
+        self.use_native = use_native
+
+    def _native(self):
+        if not self.use_native:
+            return None
+        from pero_pretraining_tpu.data import native
+
+        return native if native.available() else None
 
     # ------------------------------------------------------------------ crops
     def _crop_image(self, image: np.ndarray, start: Optional[int] = None):
@@ -96,19 +105,34 @@ class BatchCreator:
         return shift
 
     # ------------------------------------------------------------------ views
-    def _place(self, canvas: np.ndarray, mask: np.ndarray, image: np.ndarray, left_padding: Optional[int]):
-        """Place a line at a (given or random) left padding; fill the frame
-        mask. Returns the left padding in frames."""
+    def _draw_left_padding(self, width: int, target: int) -> int:
+        if width >= target:
+            return 0
+        return self.rng.randint(0, target - width) // self.subsampling_factor
+
+    def _place(self, canvas: np.ndarray, mask: np.ndarray, image: np.ndarray, left_padding: int):
+        """Place a line at the given left padding; fill the frame mask."""
         f = self.subsampling_factor
         target = canvas.shape[1]
         w = image.shape[1]
-        if left_padding is None:
-            left_padding = 0 if w >= target else self.rng.randint(0, target - w) // f
         lp_px = left_padding * f
         canvas[:, lp_px : lp_px + w] = image[:, : target - lp_px]
         mask[:left_padding] = 0
         mask[left_padding + int(np.ceil(w / f)) :] = 0
         return left_padding
+
+    def _pack_view(self, images: List[np.ndarray], left_paddings: List[int], target: int):
+        """(n, H, W, C) canvas + (n, S) masks, native when available."""
+        native = self._native()
+        if native is not None:
+            return native.pack_lines(images, left_paddings, target, self.subsampling_factor)
+        n = len(images)
+        height, _, channels = images[0].shape
+        canvas = np.zeros((n, height, target, channels), dtype=np.uint8)
+        masks = np.ones((n, target // self.subsampling_factor), dtype=np.int32)
+        for i in range(n):
+            self._place(canvas[i], masks[i], images[i], left_paddings[i])
+        return canvas, masks
 
     # ------------------------------------------------------------------ main
     def create_batch(self, items: List[Dict]) -> Dict[str, np.ndarray]:
@@ -124,23 +148,22 @@ class BatchCreator:
 
         n = len(items)
         s = target // f
-        height = items[0]["image"].shape[0]
-        channels = items[0]["image"].shape[2]
 
-        images = np.zeros((n, height, target, channels), dtype=np.uint8)
-        image_masks = np.ones((n, s), dtype=np.int32)
-        left_paddings = [
-            self._place(images[i], image_masks[i], items[i]["image"], None) for i in range(n)
-        ]
+        view1 = [d["image"] for d in items]
+        left_paddings = [self._draw_left_padding(img.shape[1], target) for img in view1]
+        images, image_masks = self._pack_view(view1, left_paddings, target)
 
-        target_labels_length = s
         labels = None
         if any(d.get("labels") is not None for d in items):
-            labels = np.full((n, target_labels_length), -1, dtype=np.int32)
-            for i, (d, lp) in enumerate(zip(items, left_paddings)):
-                if d.get("labels") is not None:
-                    lab = np.asarray(d["labels"], dtype=np.int32)[: s - lp]
-                    labels[i, lp : lp + len(lab)] = lab
+            native = self._native()
+            if native is not None:
+                labels = native.stack_labels([d.get("labels") for d in items], left_paddings, s)
+            else:
+                labels = np.full((n, s), -1, dtype=np.int32)
+                for i, (d, lp) in enumerate(zip(items, left_paddings)):
+                    if d.get("labels") is not None:
+                        lab = np.asarray(d["labels"], dtype=np.int32)[: s - lp]
+                        labels[i, lp : lp + len(lab)] = lab
 
         batch: Dict[str, np.ndarray] = {
             "images": images,
@@ -151,12 +174,12 @@ class BatchCreator:
             batch["labels"] = labels
 
         if has_pairs:
-            images2 = np.zeros_like(images)
-            image_masks2 = np.ones_like(image_masks)
-            left_paddings2 = []
-            for i in range(n):
-                lp = left_paddings[i] if self.same_left_paddings else None
-                left_paddings2.append(self._place(images2[i], image_masks2[i], items[i]["image2"], lp))
+            view2 = [d["image2"] for d in items]
+            if self.same_left_paddings:
+                left_paddings2 = list(left_paddings)
+            else:
+                left_paddings2 = [self._draw_left_padding(img.shape[1], target) for img in view2]
+            images2, image_masks2 = self._pack_view(view2, left_paddings2, target)
 
             shifts = np.asarray(
                 [cs + (lp1 - lp2) for cs, lp1, lp2 in zip(crop_shifts, left_paddings, left_paddings2)],
@@ -185,6 +208,7 @@ class BatchCreator:
                 if any(key in d for d in items):
                     out_key = "original_images" if key == "image_original" else "original_images2"
                     max_w = max(d[key].shape[1] for d in items if key in d)
+                    height, channels = items[0][key].shape[0], items[0][key].shape[2]
                     originals = np.zeros((n, height, max_w, channels), dtype=np.uint8)
                     for i, d in enumerate(items):
                         if key in d:
