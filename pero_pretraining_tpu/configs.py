@@ -39,6 +39,8 @@ class BackboneConfig:
     max_len: int = 4096
     # PositionalEncoding knobs (reference: models/transformers.py:154-192)
     random_shift: bool = True
+    # rematerialize encoder blocks in backward (trade FLOPs for HBM)
+    remat: bool = False
     # VggTransformerEncoder knobs (reference: models/transformers.py:112-144)
     base_channels: int = 64
     num_conv_blocks: int = 4
@@ -177,6 +179,8 @@ class TrainingConfig:
     batch_size: int = 16
     bfloat16: bool = False
     masking_prob: float = 0.15
+    masking_mode: str = "iid"  # "iid" | "span"
+    span_length: int = 3
     unmasked_weight: Optional[float] = None
     checkpoints_dir: Optional[str] = None
     visualizations_dir: Optional[str] = None

@@ -84,7 +84,7 @@ class EncoderBlock(nn.Module):
     attention_impl: str = "xla"
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = SelfAttention(
             self.model_dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl, name="attention"
         )(x)
@@ -132,8 +132,11 @@ class TransformerBackbone(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(x)
         x = PositionalEncoding(cfg.model_dim, cfg.max_len, cfg.random_shift, name="positions")(x, train=train)
+        # optional rematerialization: recompute block activations in backward
+        # instead of keeping them in HBM (jax.checkpoint via nn.remat)
+        block_cls = nn.remat(EncoderBlock, static_argnums=(2,)) if cfg.remat else EncoderBlock
         for i in range(cfg.num_blocks):
-            x = EncoderBlock(
+            x = block_cls(
                 cfg.model_dim,
                 cfg.num_heads,
                 cfg.feedforward_dim,
@@ -141,7 +144,7 @@ class TransformerBackbone(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 name=f"block{i}",
-            )(x, train=train)
+            )(x, train)
         return x
 
 

@@ -53,6 +53,28 @@ def apply_patch_mask(x: jax.Array, mask: jax.Array, tile: jax.Array) -> jax.Arra
     return jnp.where(pixel_mask == 1, pattern, x)
 
 
+def sample_span_mask(
+    rng: jax.Array, labels: jax.Array, masking_prob: float, span_length: int = 3
+) -> jax.Array:
+    """Contiguous-span masking (SpanBERT-style) at the same expected coverage
+    as iid Bernoulli(masking_prob).
+
+    Span starts are sampled with probability masking_prob / span_length and
+    dilated rightward to `span_length` frames with a max-pool — a static-shape
+    formulation with no host loops. Restricted to real-content patches like
+    the iid sampler. (The reference only has iid masking,
+    masked_pretraining/batch_operator.py:27-32; spans are the natural
+    extension for targets with temporal structure.)
+    """
+    p_start = min(1.0, masking_prob / max(span_length, 1))
+    starts = jax.random.bernoulli(rng, p=p_start, shape=labels.shape).astype(jnp.float32)
+    # dilate: frame j is masked if any start in [j - span_length + 1, j]
+    window = jnp.ones((span_length,), dtype=jnp.float32)
+    padded = jnp.pad(starts, ((0, 0), (span_length - 1, 0)))
+    spans = jax.vmap(lambda row: jnp.convolve(row, window, mode="valid"))(padded)
+    return ((spans > 0) & (labels >= 0)).astype(jnp.int32)
+
+
 def sample_patch_mask(rng: jax.Array, labels: jax.Array, masking_prob: float) -> jax.Array:
     """iid Bernoulli(masking_prob) patch mask restricted to real-content patches.
 

@@ -18,7 +18,7 @@ from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingCon
 from pero_pretraining_tpu.losses.masked_ce import masked_cross_entropy
 from pero_pretraining_tpu.models.heads import build_head
 from pero_pretraining_tpu.models.transformer import build_backbone
-from pero_pretraining_tpu.ops.masking import sample_patch_mask
+from pero_pretraining_tpu.ops.masking import sample_patch_mask, sample_span_mask
 
 
 class MaskedPretrainingModel(nn.Module):
@@ -54,6 +54,8 @@ class MaskedTask:
         dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
         self.model = MaskedPretrainingModel(backbone_config, head_config, dtype=dtype, attention_impl=attention_impl)
         self.masking_prob = training_config.masking_prob
+        self.masking_mode = training_config.masking_mode
+        self.span_length = training_config.span_length
         self.unmasked_weight = training_config.unmasked_weight
 
     # Trainer protocol -------------------------------------------------------
@@ -64,6 +66,11 @@ class MaskedTask:
         # is pathological over a remote-device transport
         init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
         return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images)
+
+    def _sample_mask(self, rng, labels):
+        if self.masking_mode == "span":
+            return sample_span_mask(rng, labels, self.masking_prob, self.span_length)
+        return sample_patch_mask(rng, labels, self.masking_prob)
 
     def _apply(self, params, model_state, images, mask, rng, train: bool):
         variables = {"params": params, **model_state}
@@ -84,7 +91,7 @@ class MaskedTask:
         labels = batch["labels"]
         mask = batch.get("mask")
         if mask is None:
-            mask = sample_patch_mask(mask_rng, labels, self.masking_prob)
+            mask = self._sample_mask(mask_rng, labels)
 
         logits, new_model_state = self._apply(params, model_state, images, mask, model_rng, train)
         losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)
@@ -104,7 +111,7 @@ class MaskedTask:
         labels = batch["labels"]
         mask = batch.get("mask")
         if mask is None:
-            mask = sample_patch_mask(rng, labels, self.masking_prob)
+            mask = self._sample_mask(rng, labels)
 
         logits, _ = self._apply(params, model_state, images, mask, rng, train=False)
         losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)

@@ -44,6 +44,8 @@ def parse_arguments():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--learning-rate", type=float, default=0.0002)
     parser.add_argument("--masking-prob", type=float, default=0.15)
+    parser.add_argument("--masking-mode", choices=("iid", "span"), default="iid")
+    parser.add_argument("--span-length", type=int, default=3)
     parser.add_argument("--start-iteration", type=int, default=0)
     parser.add_argument("--end-iteration", type=int, default=100000)
     parser.add_argument("--max-line-width", type=int, default=2048)
@@ -84,6 +86,8 @@ def main():
         batch_size=args.batch_size,
         bfloat16=args.bfloat16,
         masking_prob=args.masking_prob,
+        masking_mode=args.masking_mode,
+        span_length=args.span_length,
         unmasked_weight=args.unmasked_weight,
         checkpoints_dir=args.checkpoints,
         visualizations_dir=args.visualizations,
