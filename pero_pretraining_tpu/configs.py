@@ -160,6 +160,7 @@ class DataConfig:
     crop_step: int = 1
     same_left_paddings: bool = False
     augmentations: Optional[str] = None
+    left_align: bool = False
     num_workers: int = 4
     prefetch: int = 2
     shuffle: bool = True
@@ -182,6 +183,7 @@ class TrainingConfig:
     masking_mode: str = "iid"  # "iid" | "span"
     span_length: int = 3
     unmasked_weight: Optional[float] = None
+    device_augment: bool = False
     checkpoints_dir: Optional[str] = None
     visualizations_dir: Optional[str] = None
     seed: int = 0

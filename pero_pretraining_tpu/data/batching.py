@@ -61,6 +61,7 @@ class BatchCreator:
         same_left_paddings: bool = False,
         seed: Optional[int] = None,
         use_native: bool = True,
+        left_align: bool = False,
     ):
         self.pad_to = pad_to
         self.subsampling_factor = subsampling_factor
@@ -69,6 +70,10 @@ class BatchCreator:
         self.same_left_paddings = same_left_paddings
         self.rng = np.random.RandomState(seed)
         self.use_native = use_native
+        # left_align: place every line at padding 0 and emit content widths —
+        # the on-device fused preprocessing (ops/preprocess.py) then does the
+        # shift augmentation inside the jitted step
+        self.left_align = left_align
 
     def _native(self):
         if not self.use_native:
@@ -150,7 +155,10 @@ class BatchCreator:
         s = target // f
 
         view1 = [d["image"] for d in items]
-        left_paddings = [self._draw_left_padding(img.shape[1], target) for img in view1]
+        if self.left_align:
+            left_paddings = [0] * n
+        else:
+            left_paddings = [self._draw_left_padding(img.shape[1], target) for img in view1]
         images, image_masks = self._pack_view(view1, left_paddings, target)
 
         labels = None
@@ -170,6 +178,10 @@ class BatchCreator:
             "image_masks": image_masks,
             "ids": np.asarray([d["image_id"] for d in items], dtype=object),
         }
+        if self.left_align:
+            batch["widths"] = np.asarray(
+                [-(-d["image"].shape[1] // f) for d in items], dtype=np.int32
+            )
         if labels is not None:
             batch["labels"] = labels
 

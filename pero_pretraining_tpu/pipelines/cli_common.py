@@ -67,6 +67,7 @@ def build_loaders(data_config: DataConfig, pair_images: bool = False):
         crop_step=data_config.crop_step,
         same_left_paddings=data_config.same_left_paddings,
         seed=data_config.seed,
+        left_align=data_config.left_align,
     )
     trn_loader = DataLoader(
         trn_dataset, creator, batch_size=data_config.batch_size, shuffle=data_config.shuffle,

@@ -57,6 +57,7 @@ class MaskedTask:
         self.masking_mode = training_config.masking_mode
         self.span_length = training_config.span_length
         self.unmasked_weight = training_config.unmasked_weight
+        self.device_augment = training_config.device_augment
 
     # Trainer protocol -------------------------------------------------------
     def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
@@ -72,6 +73,18 @@ class MaskedTask:
             return sample_span_mask(rng, labels, self.masking_prob, self.span_length)
         return sample_patch_mask(rng, labels, self.masking_prob)
 
+    def _prepare(self, rng, batch):
+        """Images (+ labels) ready for the model. With device_augment, the
+        shift augmentation runs fused inside the jitted step
+        (ops/preprocess.py); the host only left-aligns lines."""
+        images = jnp.asarray(batch["images"])
+        labels = batch.get("labels")
+        if self.device_augment and "widths" in batch:
+            from pero_pretraining_tpu.ops.preprocess import device_shift_augment
+
+            images, labels, _ = device_shift_augment(rng, images, jnp.asarray(batch["widths"]), labels)
+        return images.astype(jnp.float32) / 255.0, labels
+
     def _apply(self, params, model_state, images, mask, rng, train: bool):
         variables = {"params": params, **model_state}
         rngs = None
@@ -86,9 +99,8 @@ class MaskedTask:
         return logits, model_state
 
     def loss_fn(self, params, model_state, batch, rng, train: bool):
-        mask_rng, model_rng = jax.random.split(rng)
-        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
-        labels = batch["labels"]
+        mask_rng, shift_rng, model_rng = jax.random.split(rng, 3)
+        images, labels = self._prepare(shift_rng, batch)
         mask = batch.get("mask")
         if mask is None:
             mask = self._sample_mask(mask_rng, labels)
@@ -107,11 +119,11 @@ class MaskedTask:
         iff fewer than k logits are strictly greater than the label's logit
         (identical to argsort selection except on exact ties).
         """
-        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
-        labels = batch["labels"]
+        shift_rng, mask_rng = jax.random.split(rng)
+        images, labels = self._prepare(shift_rng, batch)
         mask = batch.get("mask")
         if mask is None:
-            mask = self._sample_mask(rng, labels)
+            mask = self._sample_mask(mask_rng, labels)
 
         logits, _ = self._apply(params, model_state, images, mask, rng, train=False)
         losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)

@@ -53,6 +53,11 @@ def parse_arguments():
     parser.add_argument("--fill-width", action="store_true", help="Pack lines to the full width.")
     parser.add_argument("--exact-width", action="store_true")
     parser.add_argument("--unmasked-weight", type=float, default=None)
+    parser.add_argument(
+        "--device-augment",
+        action="store_true",
+        help="Fuse the shift augmentation into the jitted step (host only left-aligns lines).",
+    )
 
     parser.add_argument("--backbone", type=parse_json_definition, default="{}", help="Backbone JSON definition.")
     parser.add_argument("--head", type=parse_json_definition, default="{}", help="Head JSON definition.")
@@ -89,6 +94,7 @@ def main():
         masking_mode=args.masking_mode,
         span_length=args.span_length,
         unmasked_weight=args.unmasked_weight,
+        device_augment=args.device_augment,
         checkpoints_dir=args.checkpoints,
         visualizations_dir=args.visualizations,
         seed=args.seed,
@@ -102,6 +108,7 @@ def main():
         fill_width=args.fill_width,
         exact_width=args.exact_width,
         augmentations=args.augmentations,
+        left_align=args.device_augment,
         num_workers=args.num_workers,
         seed=args.seed,
     )

@@ -32,6 +32,7 @@ _NUMERIC_KEYS = (
     "shift_masks2",
     "labels",
     "mask",
+    "widths",
     "ctc_labels",
     "ctc_label_paddings",
 )
