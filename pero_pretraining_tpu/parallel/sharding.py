@@ -99,3 +99,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_leading(stacked: Any, mesh: Mesh) -> Any:
+    """device_put K stacked batches (K, N, ...): axis 1 shards over `data`."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, stacked)

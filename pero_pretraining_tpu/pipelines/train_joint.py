@@ -62,6 +62,8 @@ def parse_arguments():
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--mesh-data", type=int, default=-1)
     parser.add_argument("--mesh-model", type=int, default=1)
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="Fuse N optimizer steps per device program (must divide view-step).")
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
 
@@ -124,7 +126,8 @@ def main():
     state = trainer.init_state(next(iter(trn_loader)))
     state = maybe_resume(trainer, state, training)
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
-    trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration)
+    trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
+                steps_per_call=args.steps_per_call)
     print("Training finished")
     logger.close()
     return 0

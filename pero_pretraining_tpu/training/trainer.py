@@ -29,7 +29,12 @@ from jax.sharding import Mesh
 
 from pero_pretraining_tpu.configs import TrainingConfig
 from pero_pretraining_tpu.parallel.mesh import local_mesh
-from pero_pretraining_tpu.parallel.sharding import param_shardings, replicated, shard_batch
+from pero_pretraining_tpu.parallel.sharding import (
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_batch_leading,
+)
 from pero_pretraining_tpu.training.schedules import warmup_polynomial_schedule
 from pero_pretraining_tpu.training.state import TrainState
 
@@ -54,6 +59,7 @@ class Trainer:
 
         donate = (0,) if config.donate_state else ()
         self._train_step = jax.jit(self._step, donate_argnums=donate)
+        self._train_many = jax.jit(self._multi_step, donate_argnums=donate)
 
     # ------------------------------------------------------------------ setup
     def init_state(self, sample_batch: Any) -> TrainState:
@@ -91,9 +97,31 @@ class Trainer:
         metrics.setdefault("loss", loss)
         return new_state, metrics
 
+    def _multi_step(self, state: TrainState, stacked_batches: Any):
+        """K steps fused into one program with lax.scan — amortizes per-step
+        dispatch (significant on remote transports) and lets XLA overlap the
+        epilogue of step i with the prologue of step i+1. Batches are stacked
+        on a leading K axis; returns the last step's metrics."""
+
+        def body(carry, batch):
+            new_state, metrics = self._step(carry, batch)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, stacked_batches)
+        last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return state, last
+
     def train_step(self, state: TrainState, host_batch: Any):
         batch = shard_batch(host_batch, self.mesh)
         return self._train_step(state, batch)
+
+    def train_many(self, state: TrainState, host_batches: list):
+        """Run len(host_batches) optimizer steps in one device program."""
+        import numpy as np
+
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host_batches)
+        stacked = shard_batch_leading(stacked, self.mesh)
+        return self._train_many(state, stacked)
 
     def current_lr(self, state: TrainState) -> float:
         return float(self.schedule(state.step))
@@ -106,35 +134,52 @@ class Trainer:
         start_iteration: Optional[int] = None,
         end_iteration: Optional[int] = None,
         view_step: Optional[int] = None,
+        steps_per_call: int = 1,
     ) -> TrainState:
         """Iteration-driven loop mirroring the reference's
         (masked_pretraining/trainer.py:19-50): the data iterator is recycled on
         exhaustion; `on_view_step(iteration, state, elapsed, count, metrics)`
-        fires every `view_step` iterations."""
+        fires every `view_step` iterations.
+
+        steps_per_call > 1 fuses that many optimizer steps into one scanned
+        device program (train_many) — per-step dispatch overhead is amortized,
+        which matters on remote/tunneled transports."""
         start = int(state.step) if start_iteration is None else start_iteration
         end = self.config.end_iteration if end_iteration is None else end_iteration
         view = self.config.view_step if view_step is None else view_step
+        k = max(1, steps_per_call)
+        if view and k > 1 and view % k != 0:
+            raise ValueError(f"view_step {view} must be a multiple of steps_per_call {k}")
 
         iterator: Iterator = iter(batches)
+
+        def pull():
+            nonlocal iterator
+            try:
+                return next(iterator)
+            except StopIteration:
+                iterator = iter(batches)
+                return next(iterator)
+
         t0 = time.time()
         count = 0
         metrics = {}
 
-        for iteration in range(start, end):
-            try:
-                host_batch = next(iterator)
-            except StopIteration:
-                iterator = iter(batches)
-                host_batch = next(iterator)
+        iteration = start
+        while iteration < end:
+            chunk = min(k, end - iteration)
+            if chunk == 1:
+                state, metrics = self.train_step(state, pull())
+            else:
+                state, metrics = self.train_many(state, [pull() for _ in range(chunk)])
+            iteration += chunk
+            count += chunk
 
-            state, metrics = self.train_step(state, host_batch)
-            count += 1
-
-            if view and (iteration + 1) % view == 0 and self.on_view_step is not None:
+            if view and iteration % view == 0 and self.on_view_step is not None:
                 # sync once per view step only
-                metrics = {k: float(v) for k, v in metrics.items()}
+                metrics = {key: float(v) for key, v in metrics.items()}
                 elapsed = time.time() - t0
-                self.on_view_step(iteration + 1, state, elapsed, count, metrics)
+                self.on_view_step(iteration, state, elapsed, count, metrics)
                 t0 = time.time()
                 count = 0
 
