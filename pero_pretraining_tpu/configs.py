@@ -161,6 +161,9 @@ class DataConfig:
     same_left_paddings: bool = False
     augmentations: Optional[str] = None
     left_align: bool = False
+    # optional width buckets (e.g. (512, 1024, 2048)): one compiled
+    # program per bucket instead of padding everything to max_width
+    buckets: Optional[Tuple[int, ...]] = None
     num_workers: int = 4
     prefetch: int = 2
     shuffle: bool = True

@@ -60,6 +60,25 @@ def build_loaders(data_config: DataConfig, pair_images: bool = False):
     trn_dataset = build_dataset(data_config.trn_path, data_config, data_config.augmentations, pair_images)
     tst_dataset = build_dataset(data_config.tst_path, data_config, None, pair_images)
 
+    if data_config.buckets:
+        from pero_pretraining_tpu.data.bucketing import BucketedDataLoader
+
+        kwargs = dict(
+            same_left_paddings=data_config.same_left_paddings,
+            left_align=data_config.left_align,
+        )
+        trn_loader = BucketedDataLoader(
+            trn_dataset, buckets=data_config.buckets, batch_size=data_config.batch_size,
+            shuffle=data_config.shuffle, num_workers=data_config.num_workers, seed=data_config.seed,
+            subsampling_factor=data_config.subsampling_factor, creator_kwargs=kwargs,
+        )
+        tst_loader = BucketedDataLoader(
+            tst_dataset, buckets=data_config.buckets, batch_size=data_config.batch_size,
+            shuffle=False, num_workers=data_config.num_workers,
+            subsampling_factor=data_config.subsampling_factor, creator_kwargs=kwargs,
+        )
+        return trn_loader, tst_loader
+
     creator = BatchCreator(
         pad_to=data_config.max_width,
         subsampling_factor=data_config.subsampling_factor,

@@ -49,6 +49,8 @@ def parse_arguments():
     parser.add_argument("--start-iteration", type=int, default=0)
     parser.add_argument("--end-iteration", type=int, default=100000)
     parser.add_argument("--max-line-width", type=int, default=2048)
+    parser.add_argument("--buckets", default=None,
+                        help="Comma-separated width buckets, e.g. 512,1024,2048 (default: single max width).")
     parser.add_argument("--warmup-iterations", type=int, default=10000)
     parser.add_argument("--fill-width", action="store_true", help="Pack lines to the full width.")
     parser.add_argument("--exact-width", action="store_true")
@@ -111,6 +113,7 @@ def main():
         exact_width=args.exact_width,
         augmentations=args.augmentations,
         left_align=args.device_augment,
+        buckets=tuple(int(b) for b in args.buckets.split(",")) if args.buckets else None,
         num_workers=args.num_workers,
         seed=args.seed,
     )
