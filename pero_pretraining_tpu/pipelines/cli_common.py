@@ -27,6 +27,24 @@ from pero_pretraining_tpu.utils.logging import MetricsLogger
 from pero_pretraining_tpu.utils.visualizer import write_png
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persist compiled programs across runs (first compile of the flagship
+    model is ~30-60 s; subsequent CLI invocations then start instantly).
+    Respects PERO_COMPILATION_CACHE; set it to '0' to disable."""
+    env = os.environ.get("PERO_COMPILATION_CACHE")
+    if env == "0":
+        return
+    cache_dir = cache_dir or env or os.path.expanduser("~/.cache/pero_pretraining_tpu/xla")
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is best-effort
+        print(f"compilation cache disabled: {e}")
+
+
 def build_dataset(
     lines_path: str,
     data_config: DataConfig,

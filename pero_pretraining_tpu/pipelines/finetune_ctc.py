@@ -64,6 +64,10 @@ def main():
     args = parse_arguments()
     print(args)
 
+    from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     backbone = BackboneConfig.from_definition(args.backbone)
     training = TrainingConfig(
         learning_rate=args.learning_rate,

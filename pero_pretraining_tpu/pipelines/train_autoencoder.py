@@ -71,6 +71,10 @@ def main():
     args = parse_arguments()
     print(args)
 
+    from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     model_config = AutoencoderConfig.from_definition(args.model)
     training = TrainingConfig(
         learning_rate=args.learning_rate,

@@ -72,6 +72,10 @@ def main():
     args = parse_arguments()
     print(args)
 
+    from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     backbone = BackboneConfig.from_definition(args.backbone)
     head_definition = dict(args.head)
     head_definition.setdefault("type", "linear")

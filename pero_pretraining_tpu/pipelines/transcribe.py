@@ -43,6 +43,10 @@ def parse_arguments():
 def main():
     args = parse_arguments()
 
+    from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     charset = Charset.load(args.charset)
     backbone = BackboneConfig.from_definition(args.backbone)
     task = CTCTask(backbone, charset, TrainingConfig())
