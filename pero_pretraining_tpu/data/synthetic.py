@@ -7,7 +7,7 @@ and mask/shift semantics as data/batching.py produces from real LMDB data
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

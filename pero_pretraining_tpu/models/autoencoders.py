@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pero_pretraining_tpu.configs import AutoencoderConfig, VQConfig
+from pero_pretraining_tpu.configs import AutoencoderConfig
 from pero_pretraining_tpu.models.vgg import VggDecoderStack, VggEncoderStack
 from pero_pretraining_tpu.ops.vq import vq_assign, vq_lookup, vq_stats
 

@@ -12,8 +12,6 @@ dot-product, no key-padding mask (the reference attends over padding too).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,6 @@ the reference for parity testing.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def patchify(x: jax.Array, patch_h: int, patch_w: int) -> jax.Array:

@@ -12,7 +12,7 @@ device with host-side collapse only for the decoded strings.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax

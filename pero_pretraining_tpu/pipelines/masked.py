@@ -8,7 +8,7 @@ drawn on device inside the jitted step from the fold_in(step) key.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

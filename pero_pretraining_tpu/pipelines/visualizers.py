@@ -18,7 +18,6 @@ import numpy as np
 
 from pero_pretraining_tpu.ops.masking import apply_patch_mask, make_mask_tile, sample_patch_mask
 from pero_pretraining_tpu.training.state import TrainState
-from pero_pretraining_tpu.training.tester import numeric_batch
 from pero_pretraining_tpu.utils.visualizer import Visualizer
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from pero_pretraining_tpu.configs import AutoencoderConfig, DataConfig
+from pero_pretraining_tpu.configs import AutoencoderConfig
 from pero_pretraining_tpu.data.batching import BatchCreator
 from pero_pretraining_tpu.data.dataset import LinesDataset
 from pero_pretraining_tpu.data.loader import DataLoader

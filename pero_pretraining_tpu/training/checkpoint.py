@@ -11,10 +11,7 @@ the reference's `checkpoint_{iteration:06d}` convention
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
-import numpy as np
 from flax import serialization
 
 from pero_pretraining_tpu.training.state import TrainState

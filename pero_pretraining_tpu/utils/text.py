@@ -8,7 +8,7 @@ transfer-quality loop (BASELINE.md north star) closes in-repo.
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence
 
 import numpy as np
 
