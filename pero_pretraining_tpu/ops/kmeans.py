@@ -88,6 +88,14 @@ def fit_minibatch_kmeans(
             batch = jnp.asarray(data[order[start : start + batch_size]])
             centers, counts, batch_inertia = _minibatch_update(centers, counts, batch)
             inertia += float(batch_inertia)
+        # reseed dead centers to random data points (MiniBatchKMeans-style
+        # reassignment) so the codebook does not strand unused clusters
+        counts_host = np.asarray(counts)
+        dead = np.nonzero(counts_host == 0)[0]
+        if len(dead) and epoch < epochs - 1:
+            centers_host = np.asarray(centers)
+            centers_host[dead] = data[rng.choice(len(data), size=len(dead), replace=False)]
+            centers = jnp.asarray(centers_host)
         if verbose:
-            print(f"epoch {epoch}: inertia {inertia:.1f}")
+            print(f"epoch {epoch}: inertia {inertia:.1f}, dead centers {len(dead)}")
     return np.asarray(centers), inertia

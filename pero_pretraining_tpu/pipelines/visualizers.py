@@ -100,6 +100,8 @@ class JointEmbeddingVisualizer:
             image_masks2=batch.get("image_masks2"),
             shift_masks=batch.get("shift_masks"),
             shift_masks2=batch.get("shift_masks2"),
+            original_images=batch.get("original_images"),
+            original_images2=batch.get("original_images2"),
         )
         collage = self._retrieval_collage(batch, out1, out2)
         if collage is not None:

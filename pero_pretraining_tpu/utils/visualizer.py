@@ -59,18 +59,30 @@ class Visualizer:
         predicted_labels: Optional[np.ndarray] = None,
         mask: Optional[np.ndarray] = None,
         num_labels: Optional[int] = None,
+        original_images: Optional[np.ndarray] = None,
+        original_images2: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         image = self.visualize_column(
             images, predictions=predicted_labels, labels=labels, num_labels=num_labels,
             image_masks=image_masks, shift_masks=shift_masks, mask=mask,
         )
+        separator = np.full((image.shape[0], 10, 3), 255, dtype=np.uint8)
         if images2 is not None:
-            separator = np.full((image.shape[0], 10, 3), 255, dtype=np.uint8)
             column2 = self.visualize_column(
                 images2, predictions=predicted_labels, labels=labels, num_labels=num_labels,
                 image_masks=image_masks2, shift_masks=shift_masks2,
             )
             image = np.concatenate([image, separator, column2], axis=1)
+        # pre-crop originals, line-padded to match the annotated rows
+        # (reference: common/visualizer.py:33-47)
+        for originals in (original_images, original_images2):
+            if originals is None:
+                continue
+            line_padding = image.shape[0] // len(originals) - originals.shape[1]
+            column = self.visualize_column(originals, line_padding=max(line_padding, 0))
+            if column.shape[0] < image.shape[0]:
+                column = np.pad(column, ((0, image.shape[0] - column.shape[0]), (0, 0), (0, 0)))
+            image = np.concatenate([image, separator, column[: image.shape[0]]], axis=1)
         return image
 
     def visualize_column(
@@ -82,12 +94,15 @@ class Visualizer:
         image_masks: Optional[np.ndarray] = None,
         shift_masks: Optional[np.ndarray] = None,
         mask: Optional[np.ndarray] = None,
+        line_padding: int = 0,
     ) -> np.ndarray:
         lines = []
         for i, line_image in enumerate(np.asarray(images)):
             if line_image.dtype != np.uint8:
                 line_image = np.clip(line_image * 255.0, 0, 255).astype(np.uint8)
             parts = [line_image]
+            if line_padding > 0:
+                parts.append(np.zeros((line_padding, line_image.shape[1], 3), dtype=np.uint8))
             if image_masks is not None:
                 parts.append(self.annotation_strip(line_image.shape[1], image_masks[i], colors=IMAGE_MASK_COLORS))
             if shift_masks is not None:
