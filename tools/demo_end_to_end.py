@@ -153,19 +153,44 @@ def main():
         labels = compute_labels(vq_model, variables, label_loader)
         save_labels(labels, os.path.join(tmp, f"vq_labels.{split}"))
 
-    print("4) masked pretraining on VQ labels")
+    print("3b) FQ labels (pero_vgg features + k-means) for pretraining targets")
+    from pero_pretraining_tpu.scripts.common import init_feature_model
+    from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
+    from pero_pretraining_tpu.ops.vq import vq_assign
+    import jax.numpy as jnp
+
+    encode = init_feature_model("pero_vgg", None)
+    feats = []
+    feat_loader = init_dataset(store_path, lines["trn"][0], 16, max_width=WIDTH, num_workers=4)
+    per_line = {}
+    for split in ("trn", "tst"):
+        sl = init_dataset(store_path, lines[split][0], 16, max_width=WIDTH, num_workers=4)
+        rows = {}
+        for batch in sl:
+            frames = np.asarray(encode(jnp.asarray(batch["images"], jnp.float32) / 255.0), np.float32)
+            for lid, lmask, lf in zip(batch["ids"], batch["image_masks"], frames):
+                rows[lid] = lf[lmask == 1]
+        per_line[split] = rows
+    all_feats = np.vstack(list(per_line["trn"].values()))
+    centers, _ = fit_minibatch_kmeans(all_feats, 64, batch_size=4096, epochs=5, seed=0)
+    centers_dev = jnp.asarray(centers)
+    for split in ("trn", "tst"):
+        fq = {lid: np.asarray(vq_assign(jnp.asarray(f), centers_dev)).tolist() for lid, f in per_line[split].items()}
+        save_labels(fq, os.path.join(tmp, f"fq_labels.{split}"))
+
+    print("4) masked pretraining on FQ labels")
     backbone_cfg = BackboneConfig(type="vit", model_dim=256, num_heads=4, num_blocks=4, feedforward_dim=512, max_len=128)
-    m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=50, batch_size=16, masking_prob=0.3)
+    m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=100, batch_size=16, masking_prob=0.3)
     m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=256, out_features=64), m_training)
-    m_ds = LinesDataset(store_path, os.path.join(tmp, "vq_labels.trn"), max_width=WIDTH)
+    m_ds = LinesDataset(store_path, os.path.join(tmp, "fq_labels.trn"), max_width=WIDTH)
     m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=0), batch_size=16, shuffle=True, num_workers=4)
-    m_trainer, m_state = run_trainer(m_task, m_loader, 500, mesh, "masked")
+    m_trainer, m_state = run_trainer(m_task, m_loader, 2000, mesh, "masked")
     pretrained_ckpt = os.path.join(tmp, "pretrained.msgpack")
     save_checkpoint(m_state, pretrained_ckpt)
 
     from pero_pretraining_tpu.training.tester import Tester
 
-    tst_ds = LinesDataset(store_path, os.path.join(tmp, "vq_labels.tst"), max_width=WIDTH)
+    tst_ds = LinesDataset(store_path, os.path.join(tmp, "fq_labels.tst"), max_width=WIDTH)
     tst_loader = DataLoader(tst_ds, BatchCreator(pad_to=WIDTH, seed=0), batch_size=16, shuffle=False, num_workers=4)
     m_result = Tester(m_task, tst_loader).test(m_state)
     summary["masked_test"] = m_result
@@ -177,7 +202,7 @@ def main():
     print("5) CTC fine-tune: scratch vs pretrained (small labeled subset)")
     small_tsv = os.path.join(tmp, "trn_small.tsv")
     with open(lines["trn"][1]) as f:
-        rows = f.readlines()[:48]
+        rows = f.readlines()[:24]
     with open(small_tsv, "w") as f:
         f.writelines(rows)
 
@@ -199,12 +224,10 @@ def main():
         if mode == "pretrained":
             variables = c_task.load_pretrained_backbone(variables, pretrained_ckpt)
 
-        from pero_pretraining_tpu.parallel.sharding import param_shardings, replicated
         from pero_pretraining_tpu.training.state import TrainState
 
         variables = dict(variables)
-        params = jax.device_put(variables.pop("params"), param_shardings(jax.device_get(variables), mesh) if False else None)
-        params = jax.device_put(params)
+        params = jax.device_put(variables.pop("params"))
         model_state = jax.device_put(variables)
         opt_state = jax.jit(trainer.tx.init)(params)
         state = TrainState.create(params, model_state, opt_state, 0)
@@ -213,7 +236,7 @@ def main():
             while True:
                 yield from (numeric_batch(b) for b in c_loader)
 
-        state = trainer.fit(state, forever(), start_iteration=0, end_iteration=400, view_step=0, steps_per_call=5)
+        state = trainer.fit(state, forever(), start_iteration=0, end_iteration=1200, view_step=0, steps_per_call=5)
 
         c_tst = TranscriptionDataset(store_path, lines["tst"][1], max_width=WIDTH)
         c_tst_loader = DataLoader(c_tst, creator, batch_size=16, shuffle=False, num_workers=4)
@@ -228,14 +251,14 @@ def main():
     from pero_pretraining_tpu.scripts.visualize_ngrams import create_image, search_ngrams
     from pero_pretraining_tpu.data.storage import open_store
 
-    labels = load_labels(os.path.join(tmp, "vq_labels.trn"))
+    labels = load_labels(os.path.join(tmp, "fq_labels.trn"))
     ngrams = calculate_ngrams(labels, 3)
     top = [ng for ng, _ in sorted(ngrams.items(), key=lambda kv: kv[1], reverse=True)[:12]]
     with open_store(store_path) as store:
         crops = search_ngrams(labels, top, store, 8, max_samples=16)
     collage = create_image(top, crops, crops_per_line=12)
     if collage is not None:
-        write_png(os.path.join(OUT, "vq_3gram_collage.png"), collage)
+        write_png(os.path.join(OUT, "fq_3gram_collage.png"), collage)
 
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2, default=float)
