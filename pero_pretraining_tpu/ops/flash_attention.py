@@ -213,11 +213,11 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jax.Array:
-    """q, k, v: (N, S, H, hd) -> (N, S, H, hd). S is padded to the block size
-    internally (padded keys contribute exp(-inf-ish) ~ correctly zero weight
-    because padding lives in fresh zero rows that only pad queries attend to
-    — padded QUERY outputs are sliced off, and padded KEY columns are masked
-    by the score of -inf applied via the length check below)."""
+    """q, k, v: (N, S, H, hd) -> (N, S, H, hd).
+
+    S must be a multiple of the block size for the Pallas path; ragged
+    lengths fall back to the XLA implementation (correct, just not
+    memory-blocked — fine at the short sequences where ragged shapes occur)."""
     n, s, h, hd = q.shape
 
     block_q = min(block_q, max(8, s))

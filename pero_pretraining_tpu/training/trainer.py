@@ -116,8 +116,17 @@ class Trainer:
         return self._train_step(state, batch)
 
     def train_many(self, state: TrainState, host_batches: list):
-        """Run len(host_batches) optimizer steps in one device program."""
+        """Run len(host_batches) optimizer steps in one device program.
+        Falls back to sequential steps when batch shapes differ (ragged last
+        batch, bucketed widths)."""
         import numpy as np
+
+        shapes = {tuple(sorted((k, v.shape) for k, v in b.items())) for b in host_batches}
+        if len(shapes) > 1:
+            metrics = {}
+            for batch in host_batches:
+                state, metrics = self.train_step(state, batch)
+            return state, metrics
 
         stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *host_batches)
         stacked = shard_batch_leading(stacked, self.mesh)

@@ -208,8 +208,12 @@ def main():
 
     charset = Charset(list(CHARS))
     ctc_results = {}
-    for mode in ("scratch", "pretrained"):
-        c_training = TrainingConfig(learning_rate=2e-4, warmup_iterations=30, batch_size=16)
+    # full fine-tune (scratch vs pretrained) AND frozen-backbone linear
+    # probes (random vs pretrained features) — the probe isolates
+    # representation quality from optimization noise
+    for mode in ("scratch", "pretrained", "probe_random", "probe_pretrained"):
+        lr = 1e-3 if mode.startswith("probe") else 2e-4
+        c_training = TrainingConfig(learning_rate=lr, warmup_iterations=30, batch_size=16)
         c_task = CTCTask(backbone_cfg, charset, c_training)
         c_ds = TranscriptionDataset(store_path, small_tsv, max_width=WIDTH)
         creator = CTCBatchCreator(charset, BatchCreator(pad_to=WIDTH, seed=0), max_label_len=64)
@@ -221,8 +225,22 @@ def main():
         trainer = Trainer(c_task, c_training, mesh=mesh)
         first = next(iter(c_loader))
         variables = c_task.init_variables(jax.random.PRNGKey(0), first)
-        if mode == "pretrained":
+        if mode in ("pretrained", "probe_pretrained"):
             variables = c_task.load_pretrained_backbone(variables, pretrained_ckpt)
+        if mode.startswith("probe"):
+            import optax
+
+            # freeze the backbone: adam on the head, zero elsewhere
+            def label_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "train" if "ctc_head" in str(path[0]) else "freeze", params
+                )
+
+            trainer.tx = optax.multi_transform(
+                {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, label_fn
+            )
+            trainer._train_step = jax.jit(trainer._step, donate_argnums=(0,))
+            trainer._train_many = jax.jit(trainer._multi_step, donate_argnums=(0,))
 
         from pero_pretraining_tpu.training.state import TrainState
 
