@@ -1,0 +1,105 @@
+"""Per-pipeline throughput benchmark (device-resident, value-fetch forced,
+best of trials). Writes docs/bench_all.json. Complements the driver-facing
+bench.py headline.
+
+    python tools/bench_all.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def measure(trainer, batches, mesh, steps=20, trials=3, name=""):
+    import jax
+
+    from pero_pretraining_tpu.parallel.sharding import shard_batch
+
+    print(f"[{name}] init...", flush=True)
+    state = trainer.init_state(batches[0])
+    state, m = trainer.train_step(state, batches[0])
+    float(m["loss"])  # compile + channel
+    print(f"[{name}] compiled", flush=True)
+    dev = [shard_batch(b, mesh) for b in batches]
+    best = 0.0
+    bs = batches[0]["images"].shape[0]
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = trainer._train_step(state, dev[i % len(dev)])
+        float(m["loss"])
+        best = max(best, bs * steps / (time.perf_counter() - t0))
+    print(f"[{name}] {best:.0f} lines/s", flush=True)
+    return best
+
+
+def main():
+    import jax
+
+    from pero_pretraining_tpu.configs import (
+        AutoencoderConfig, BackboneConfig, HeadConfig, MeshConfig, TrainingConfig, VQConfig,
+    )
+    from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch, synthetic_paired_batch
+    from pero_pretraining_tpu.parallel.mesh import create_mesh
+    from pero_pretraining_tpu.pipelines.autoencoder import AutoencoderTask
+    from pero_pretraining_tpu.pipelines.joint import JointEmbeddingTask
+    from pero_pretraining_tpu.pipelines.masked import MaskedTask
+    from pero_pretraining_tpu.training.tester import numeric_batch
+    from pero_pretraining_tpu.training.trainer import Trainer
+
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    rng = np.random.RandomState(0)
+    results = {}
+
+    def masked_batches(**kw):
+        return [numeric_batch(synthetic_masked_batch(rng, **kw)) for _ in range(4)]
+
+    def paired_batches(**kw):
+        return [numeric_batch(synthetic_paired_batch(rng, **kw)) for _ in range(4)]
+
+    # masked ViT (flagship, reference defaults)
+    t = TrainingConfig(bfloat16=True)
+    task = MaskedTask(BackboneConfig(type="vit"), HeadConfig(out_features=4096), t)
+    results["masked_vit_b16_w2048"] = measure(
+        Trainer(task, t, mesh=mesh), masked_batches(batch_size=16, width=2048, num_labels=4096), mesh, name="masked_vit_b16_w2048"
+    )
+
+    # masked VggT
+    task = MaskedTask(BackboneConfig(type="vggt"), HeadConfig(out_features=4096), t)
+    results["masked_vggt_b16_w2048"] = measure(
+        Trainer(task, t, mesh=mesh), masked_batches(batch_size=16, width=2048, num_labels=4096), mesh, name="masked_vggt_b16_w2048"
+    )
+
+    # VQ-VAE tokenizer (reference defaults 1024x512)
+    vq = AutoencoderConfig(type="vqvae", vq=VQConfig(num_embeddings=1024, embeddings_dim=512))
+    task = AutoencoderTask(vq, t)
+    results["vqvae_b32_w2048"] = measure(
+        Trainer(task, t, mesh=mesh), masked_batches(batch_size=32, width=2048), mesh, steps=10, name="vqvae_b32_w2048"
+    )
+
+    # joint embedding (VICReg, MLP head)
+    task = JointEmbeddingTask(
+        BackboneConfig(type="vit"), HeadConfig(type="mlp", hidden_dim=8192, num_layers=3), t, loss_type="vicreg"
+    )
+    results["vicreg_vit_b16_w1024"] = measure(
+        Trainer(task, t, mesh=mesh), paired_batches(batch_size=16, width=1024), mesh, name="vicreg_vit_b16_w1024"
+    )
+
+    out = {k: round(v, 1) for k, v in results.items()}
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs")
+    os.makedirs(docs, exist_ok=True)
+    with open(os.path.join(docs, "bench_all.json"), "w") as f:
+        json.dump({"unit": "text-lines/sec/chip (device-resident, bf16)", **out}, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
