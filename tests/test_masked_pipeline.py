@@ -53,6 +53,16 @@ def test_multichip_data_parallel(rng):
 
     batches = _batches(rng, 2, batch_size=8, width=256, num_labels=50)
     state = trainer.init_state(batches[0])
+
+    # tensor-parallel params must actually shard over the model axis
+    qkv = state.params["backbone"]["block0"]["attention"]["qkv"]["kernel"]
+    spec = qkv.sharding.spec
+    assert "model" in str(spec), f"qkv kernel not model-sharded: {spec}"
+    head_kernel = state.params["head"]["linear"]["kernel"]
+    assert "model" in str(head_kernel.sharding.spec)
+    # and each shard holds only 1/model_par of the output dim
+    assert qkv.addressable_shards[0].data.shape[1] == qkv.shape[1] // 2
+
     state, metrics = trainer.train_step(state, batches[0])
     state, metrics = trainer.train_step(state, batches[1])
     assert np.isfinite(float(metrics["loss"]))
