@@ -227,7 +227,11 @@ class VQVAE(nn.Module):
         vq_loss = self.vq.calculate_loss(tokens, features)
         loss = vq_loss + recon_loss
 
-        counts = jnp.bincount(labels, length=cfg.vq.num_embeddings)
+        # one-hot reduction instead of bincount: bincount lowers to a TPU
+        # scatter (~9 ms at this size); the one-hot sum is a VPU reduction
+        counts = jnp.sum(
+            jax.nn.one_hot(labels, cfg.vq.num_embeddings, dtype=jnp.float32), axis=0
+        ).astype(jnp.int32)
         return {
             "tokens": tokens,
             "labels": labels,
