@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from pero_pretraining_tpu.configs import AutoencoderConfig
 from pero_pretraining_tpu.models.vgg import VggDecoderStack, VggEncoderStack
-from pero_pretraining_tpu.ops.vq import vq_assign, vq_lookup, vq_stats
+from pero_pretraining_tpu.ops.vq import vq_assign, vq_counts, vq_lookup, vq_stats
 
 
 class VGGEncoder(nn.Module):
@@ -227,11 +227,7 @@ class VQVAE(nn.Module):
         vq_loss = self.vq.calculate_loss(tokens, features)
         loss = vq_loss + recon_loss
 
-        # one-hot reduction instead of bincount: bincount lowers to a TPU
-        # scatter (~9 ms at this size); the one-hot sum is a VPU reduction
-        counts = jnp.sum(
-            jax.nn.one_hot(labels, cfg.vq.num_embeddings, dtype=jnp.float32), axis=0
-        ).astype(jnp.int32)
+        counts = vq_counts(labels, cfg.vq.num_embeddings).astype(jnp.int32)
         return {
             "tokens": tokens,
             "labels": labels,

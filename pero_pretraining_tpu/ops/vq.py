@@ -46,6 +46,12 @@ def vq_lookup(indices: jax.Array, codebook: jax.Array) -> jax.Array:
     return jnp.take(codebook, indices, axis=0)
 
 
+def vq_counts(indices: jax.Array, num_embeddings: int) -> jax.Array:
+    """Per-code usage counts via one-hot reduction (float32, exact below 2^24)
+    — the TPU scatter-avoidance recipe; jnp.bincount lowers to a slow scatter."""
+    return jnp.sum(jax.nn.one_hot(indices, num_embeddings, dtype=jnp.float32), axis=0)
+
+
 def vq_stats(indices: jax.Array, x: jax.Array, num_embeddings: int) -> Tuple[jax.Array, jax.Array]:
     """Per-code usage counts and per-code input sums (for EMA updates).
 

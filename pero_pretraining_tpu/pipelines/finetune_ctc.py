@@ -120,23 +120,23 @@ def main():
 
     trainer.on_view_step = handler
 
+    import jax
+
     sample = next(iter(trn_loader))
-    variables = task.init_variables(__import__("jax").random.PRNGKey(args.seed), sample)
+    variables = task.init_variables(jax.random.PRNGKey(args.seed), sample)
     if args.pretrained_checkpoint:
         variables = task.load_pretrained_backbone(variables, args.pretrained_checkpoint)
         print(f"Loaded pretrained backbone from {args.pretrained_checkpoint}")
 
         # rebuild trainer state around grafted variables
-        import jax as _jax
-
         from pero_pretraining_tpu.parallel.sharding import param_shardings, replicated
         from pero_pretraining_tpu.training.state import TrainState
 
         variables = dict(variables)
         params = variables.pop("params")
-        params = _jax.device_put(params, param_shardings(params, mesh))
-        model_state = _jax.device_put(variables, replicated(mesh))
-        opt_state = _jax.jit(trainer.tx.init)(params)
+        params = jax.device_put(params, param_shardings(params, mesh))
+        model_state = jax.device_put(variables, replicated(mesh))
+        opt_state = jax.jit(trainer.tx.init)(params)
         state = TrainState.create(params, model_state, opt_state, args.seed)
     else:
         state = trainer.init_state(sample)
