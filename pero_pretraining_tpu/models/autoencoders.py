@@ -90,7 +90,11 @@ class VectorQuantizer(nn.Module):
     decay > 0: codebook lives in the mutable `vq` collection and follows the
     reference's EMA recipe exactly, including the compounding Laplace
     smoothing of cluster sizes (:226-237). decay == 0: the codebook is a
-    trainable param optimized through the q-latent loss term.
+    trainable param with the reference's q-latent loss term — note that the
+    reference applies the straight-through detach BEFORE the loss sees the
+    quantized values (:222, :239), so the q-latent gradient never actually
+    reaches the embedding; we replicate that faithfully (the EMA default is
+    the functioning path, and the one all reference configs use).
     """
 
     num_embeddings: int

@@ -19,7 +19,65 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pero_pretraining_tpu.ops.vq import vq_assign, vq_stats
+from pero_pretraining_tpu.ops.vq import vq_assign, vq_distances, vq_stats
+
+
+def kmeans_parallel_init(
+    rng: np.random.RandomState,
+    data: np.ndarray,
+    k: int,
+    rounds: int = 5,
+    oversample: int = 0,
+) -> np.ndarray:
+    """k-means|| seeding (Bahmani et al.): O(rounds) device round-trips instead
+    of k-means++'s O(k) sequential kernel launches — the difference between
+    seconds and many minutes at k=4096 on high-latency transports.
+
+    Each round samples ~2k candidates with probability proportional to their
+    current D^2; candidates are then weighted by how many points they attract
+    and reduced to k centers with weighted k-means++ ON HOST (numpy only, no
+    device calls)."""
+    data = np.asarray(data, dtype=np.float32)
+    n, d = data.shape
+    l = oversample or 2 * k
+    data_dev = jnp.asarray(data)
+
+    @jax.jit
+    def min_dist_to(batch_centers, current_min):
+        d2 = vq_distances(data_dev, batch_centers)
+        return jnp.minimum(current_min, jnp.min(d2, axis=1))
+
+    candidates = [data[rng.randint(n)][None]]
+    min_d = np.full((n,), np.inf, dtype=np.float32)
+    for _ in range(rounds):
+        min_d = np.asarray(min_dist_to(jnp.asarray(candidates[-1]), jnp.asarray(min_d)))
+        total = float(min_d.sum())
+        if total <= 0:
+            break
+        probs = np.minimum(1.0, l * min_d / total)
+        picked = data[rng.rand(n) < probs]
+        if len(picked) == 0:
+            continue
+        candidates.append(picked)
+    cand = np.concatenate(candidates, axis=0)
+
+    # weight candidates by attraction counts (one device call)
+    idx = np.asarray(vq_assign(data_dev, jnp.asarray(cand)))
+    weights = np.bincount(idx, minlength=len(cand)).astype(np.float64)
+
+    # weighted k-means++ on host to reduce candidates -> k centers
+    centers = np.empty((k, d), dtype=np.float32)
+    centers[0] = cand[rng.choice(len(cand), p=weights / weights.sum())]
+    cand_min = ((cand - centers[0]) ** 2).sum(1)
+    for i in range(1, k):
+        w = cand_min * weights
+        total = w.sum()
+        if total <= 0:
+            centers[i:] = cand[rng.choice(len(cand), size=k - i)]
+            break
+        centers[i] = cand[rng.choice(len(cand), p=w / total)]
+        cand_min = np.minimum(cand_min, ((cand - centers[i]) ** 2).sum(1))
+    return centers
 
 
 def kmeans_plus_plus_init(rng: np.random.RandomState, data: np.ndarray, k: int, sample_size: int = 2**15) -> np.ndarray:
@@ -73,11 +131,20 @@ def fit_minibatch_kmeans(
     epochs: int = 100,
     seed: int = 0,
     verbose: bool = False,
+    init: str = "auto",
 ) -> Tuple[np.ndarray, float]:
-    """Returns (centers (k, D) float32, final-epoch inertia estimate)."""
+    """Returns (centers (k, D) float32, final-epoch inertia estimate).
+
+    init: "auto" (k-means|| above k=256, k-means++ below), "parallel", "++".
+    """
     rng = np.random.RandomState(seed)
     data = np.asarray(data, dtype=np.float32)
-    centers = jnp.asarray(kmeans_plus_plus_init(rng, data, k))
+    if init == "auto":
+        init = "parallel" if k > 256 else "++"
+    if init == "parallel":
+        centers = jnp.asarray(kmeans_parallel_init(rng, data, k))
+    else:
+        centers = jnp.asarray(kmeans_plus_plus_init(rng, data, k))
     counts = jnp.zeros((k,), dtype=jnp.float32)
 
     inertia = 0.0
@@ -93,7 +160,7 @@ def fit_minibatch_kmeans(
         counts_host = np.asarray(counts)
         dead = np.nonzero(counts_host == 0)[0]
         if len(dead) and epoch < epochs - 1:
-            centers_host = np.asarray(centers)
+            centers_host = np.array(centers)  # np.asarray of a jax array is read-only
             centers_host[dead] = data[rng.choice(len(data), size=len(dead), replace=False)]
             centers = jnp.asarray(centers_host)
         if verbose:

@@ -31,6 +31,8 @@ def parse_arguments():
     parser.add_argument("--batch-size", type=int, default=2**14)
     parser.add_argument("--iters", type=int, default=100, help="Epochs over the dataset.")
     parser.add_argument("--backend", default="jax", choices=["jax", "sklearn"])
+    parser.add_argument("--init", default="auto", choices=["auto", "parallel", "++"],
+                        help="jax backend seeding: k-means|| (parallel, O(rounds) device calls) or sequential k-means++.")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", required=True)
     return parser.parse_args()
@@ -42,7 +44,7 @@ def load_features(path: str) -> np.ndarray:
     return np.asarray(load_pickle(path))
 
 
-def fit(features: np.ndarray, k: int, batch_size: int, epochs: int, backend: str, seed: int):
+def fit(features: np.ndarray, k: int, batch_size: int, epochs: int, backend: str, seed: int, init: str = "auto"):
     if backend == "sklearn":
         from sklearn.cluster import MiniBatchKMeans
 
@@ -56,7 +58,7 @@ def fit(features: np.ndarray, k: int, batch_size: int, epochs: int, backend: str
 
     from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
 
-    return fit_minibatch_kmeans(features, k, batch_size=batch_size, epochs=epochs, seed=seed, verbose=True)
+    return fit_minibatch_kmeans(features, k, batch_size=batch_size, epochs=epochs, seed=seed, verbose=True, init=init)
 
 
 def main():
@@ -65,7 +67,7 @@ def main():
     features = load_features(args.dataset)
     print(f"Loaded '{args.dataset}' ({features.shape})")
 
-    centers, inertia = fit(features, args.k, args.batch_size, args.iters, args.backend, args.seed)
+    centers, inertia = fit(features, args.k, args.batch_size, args.iters, args.backend, args.seed, args.init)
     print(f"Inertia: {inertia}")
 
     if args.output.endswith(".npy"):

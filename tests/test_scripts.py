@@ -79,6 +79,23 @@ def test_fq_toolchain_end_to_end(corpus, tmp_path, monkeypatch):
         assert len(parts) > 1  # every line got labels for its real frames
 
 
+def test_kmeans_parallel_init_quality(rng):
+    """k-means|| seeding must match k-means++ final quality (it replaces k
+    sequential device calls with O(rounds))."""
+    from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
+
+    true_centers = rng.randn(16, 8).astype(np.float32) * 10
+    data = np.vstack([true_centers[i] + rng.randn(300, 8).astype(np.float32) for i in range(16)])
+
+    def inertia(c):
+        d = ((data[:, None, :] - c[None]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    c_pp, _ = fit_minibatch_kmeans(data, 16, batch_size=512, epochs=8, seed=0, init="++")
+    c_par, _ = fit_minibatch_kmeans(data, 16, batch_size=512, epochs=8, seed=0, init="parallel")
+    assert inertia(c_par) < inertia(c_pp) * 1.1
+
+
 def test_jax_kmeans_quality(rng):
     """TPU minibatch k-means must reach sklearn-comparable inertia on
     well-separated clusters and recover the cluster structure."""
