@@ -75,6 +75,13 @@ def main():
 
     enable_compilation_cache()
 
+    from pero_pretraining_tpu.parallel.multihost import initialize_distributed
+
+    if initialize_distributed():  # no-op unless pod env vars are set
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
+
     model_config = AutoencoderConfig.from_definition(args.model)
     training = TrainingConfig(
         learning_rate=args.learning_rate,

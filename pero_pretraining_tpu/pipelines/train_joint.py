@@ -76,6 +76,13 @@ def main():
 
     enable_compilation_cache()
 
+    from pero_pretraining_tpu.parallel.multihost import initialize_distributed
+
+    if initialize_distributed():  # no-op unless pod env vars are set
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/{jax.process_count()}")
+
     backbone = BackboneConfig.from_definition(args.backbone)
     head_definition = dict(args.head)
     head_definition.setdefault("type", "linear")

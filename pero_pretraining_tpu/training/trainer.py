@@ -112,6 +112,9 @@ class Trainer:
         return state, last
 
     def train_step(self, state: TrainState, host_batch: Any):
+        """One optimizer step. NOTE: the state argument is DONATED — its
+        buffers are invalid afterwards; always continue from the returned
+        state (set TrainingConfig.donate_state=False to keep old states)."""
         batch = shard_batch(host_batch, self.mesh)
         return self._train_step(state, batch)
 
