@@ -56,6 +56,8 @@ def parse_arguments():
     parser.add_argument("--checkpoints", default=None)
     parser.add_argument("--visualizations", default=None)
     parser.add_argument("--bfloat16", action="store_true")
+    parser.add_argument("--project-name", default=None, help="ClearML project (optional).")
+    parser.add_argument("--task-name", default=None, help="ClearML task (optional).")
     parser.add_argument("--metrics-log", default=None)
 
     parser.add_argument("--num-workers", type=int, default=4)
@@ -118,7 +120,10 @@ def main():
     tst_visualizer = AutoencoderVisualizer(task, tst_loader)
 
     init_directories(args.checkpoints, args.visualizations)
-    logger = MetricsLogger(args.metrics_log)
+    from pero_pretraining_tpu.utils.logging import init_clearml
+
+    clearml_task, clearml_logger = init_clearml(args.project_name, args.task_name)
+    logger = MetricsLogger(args.metrics_log, clearml_logger=clearml_logger)
 
     trainer = Trainer(task, training, mesh=mesh)
     trainer.on_view_step = make_view_step_handler(

@@ -69,6 +69,8 @@ def parse_arguments():
     parser.add_argument("--visualizations", default=None)
     parser.add_argument("--show-masked-images", action="store_true")
     parser.add_argument("--bfloat16", action="store_true")
+    parser.add_argument("--project-name", default=None, help="ClearML project (optional).")
+    parser.add_argument("--task-name", default=None, help="ClearML task (optional).")
     parser.add_argument("--metrics-log", default=None, help="JSONL metrics output path.")
 
     parser.add_argument("--num-workers", type=int, default=4)
@@ -141,7 +143,10 @@ def main():
     tst_visualizer = MaskedVisualizer(task, tst_loader, show_masked_images=args.show_masked_images)
 
     init_directories(args.checkpoints, args.visualizations)
-    logger = MetricsLogger(args.metrics_log)
+    from pero_pretraining_tpu.utils.logging import init_clearml
+
+    clearml_task, clearml_logger = init_clearml(args.project_name, args.task_name)
+    logger = MetricsLogger(args.metrics_log, clearml_logger=clearml_logger)
 
     trainer = Trainer(task, training, mesh=mesh)
     trainer.on_view_step = make_view_step_handler(

@@ -15,9 +15,10 @@ from typing import Optional
 
 
 class MetricsLogger:
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, clearml_logger=None):
         self.path = path
         self._file = None
+        self._clearml = clearml_logger
         if path is not None:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
             self._file = open(path, "a")
@@ -31,8 +32,26 @@ class MetricsLogger:
                 + "\n"
             )
             self._file.flush()
+        if self._clearml is not None:
+            self._clearml.report_scalar(title=title, series=series, value=value, iteration=iteration)
 
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
             self._file = None
+
+
+def init_clearml(project_name: Optional[str], task_name: Optional[str]):
+    """ClearML task init matching the reference's surface
+    (masked_pretraining/train.py:224-238). Returns (task, logger) or
+    (None, None) when clearml is absent or names are unset — the package is
+    optional here, unlike the reference's hard import."""
+    if not project_name or not task_name:
+        return None, None
+    try:
+        from clearml import Task  # type: ignore
+    except ImportError:
+        print("clearml not installed; --project-name/--task-name ignored (JSONL log still written)")
+        return None, None
+    task = Task.init(project_name=project_name, task_name=task_name, task_type=Task.TaskTypes.training)
+    return task, task.get_logger()
