@@ -41,6 +41,11 @@ class JointEmbeddingModel(nn.Module):
         out = self.head(frames, train=train)
         return out[:n], out[n:]
 
+    def encode_one(self, images, *, train: bool = False):
+        """Single-view encode (used by the momentum-target variant)."""
+        frames = self.backbone(images, None, train=train)
+        return self.head(frames, train=train)
+
 
 class JointEmbeddingTask:
     def __init__(
@@ -50,13 +55,20 @@ class JointEmbeddingTask:
         training_config: TrainingConfig,
         loss_type: str = "vicreg",
         attention_impl: str = "xla",
+        momentum: float = 0.0,
     ):
+        """momentum > 0 enables a BYOL-style TARGET branch: view 2 is encoded
+        by an EMA copy of the weights (stop-gradient), updated after each
+        optimizer step as target = m*target + (1-m)*online. The reference has
+        no momentum branch (joint_embedding_pretraining/model.py:33-60 shares
+        weights); this is the standard modern anti-collapse extension."""
         self.backbone_config = backbone_config
         self.head_config = head_config
         self.training_config = training_config
         if loss_type not in ("vicreg", "ntxent"):
             raise ValueError(f"Unknown loss type: {loss_type}")
         self.loss_type = loss_type
+        self.momentum = momentum
         dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
         self.model = JointEmbeddingModel(backbone_config, head_config, dtype=dtype, attention_impl=attention_impl)
 
@@ -65,15 +77,52 @@ class JointEmbeddingTask:
         images1 = jnp.asarray(batch["images"][:1], dtype=jnp.float32) / 255.0
         images2 = jnp.asarray(batch["images2"][:1], dtype=jnp.float32) / 255.0
         init = jax.jit(lambda rngs, x1, x2: self.model.init(rngs, x1, x2, train=False))
-        return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images1, images2)
+        variables = dict(init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images1, images2))
+        if self.momentum > 0:
+            # target branch starts as an exact copy of the online weights —
+            # a REAL copy: aliased buffers would be donated twice by the step
+            variables["target_params"] = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        return variables
+
+    def post_update(self, new_params, model_state):
+        """Trainer hook (runs inside the jitted step, after the optimizer):
+        EMA-update the target branch toward the new online weights."""
+        if self.momentum <= 0 or "target_params" not in model_state:
+            return model_state
+        m = self.momentum
+        new_target = jax.tree_util.tree_map(
+            lambda t, p: m * t + (1.0 - m) * p, model_state["target_params"], new_params
+        )
+        return {**model_state, "target_params": new_target}
+
+    def _split_state(self, model_state):
+        collections = {k: v for k, v in model_state.items() if k != "target_params"}
+        return collections, model_state.get("target_params")
 
     def _apply(self, params, model_state, images1, images2, rng, train: bool):
-        variables = {"params": params, **model_state}
+        collections, target_params = self._split_state(model_state)
+        variables = {"params": params, **collections}
         rngs = None
         if train:
             pos_rng, drop_rng = jax.random.split(rng)
             rngs = {"positions": pos_rng, "dropout": drop_rng}
-        mutable = list(model_state.keys()) if train else False
+
+        if self.momentum > 0 and target_params is not None:
+            # online branch on view 1 (with grads), frozen EMA target on view 2
+            mutable = list(collections.keys()) if train else False
+            if train and mutable:
+                out1, new_cols = self.model.apply(
+                    variables, images1, train=True, rngs=rngs, mutable=mutable, method=self.model.encode_one
+                )
+                new_state = {**dict(new_cols), "target_params": target_params}
+            else:
+                out1 = self.model.apply(variables, images1, train=train, rngs=rngs, method=self.model.encode_one)
+                new_state = model_state
+            target_vars = {"params": target_params, **collections}
+            out2 = self.model.apply(target_vars, images2, train=False, method=self.model.encode_one)
+            return out1, jax.lax.stop_gradient(out2), new_state
+
+        mutable = list(collections.keys()) if train else False
         if train and mutable:
             (out1, out2), new_state = self.model.apply(
                 variables, images1, images2, train=True, rngs=rngs, mutable=mutable

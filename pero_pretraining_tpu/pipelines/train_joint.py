@@ -42,6 +42,8 @@ def parse_arguments():
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--learning-rate", type=float, default=0.0002)
     parser.add_argument("--loss-type", choices=("vicreg", "ntxent"), default="vicreg")
+    parser.add_argument("--momentum", type=float, default=0.0,
+                        help="BYOL-style EMA target branch (0 = reference shared-weights behavior).")
     parser.add_argument("--start-iteration", type=int, default=0)
     parser.add_argument("--end-iteration", type=int, default=100000)
     parser.add_argument("--max-line-width", type=int, default=2048)
@@ -119,7 +121,7 @@ def main():
     mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     print(f"Mesh: {dict(mesh.shape)}")
 
-    task = JointEmbeddingTask(backbone, head, training, loss_type=args.loss_type)
+    task = JointEmbeddingTask(backbone, head, training, loss_type=args.loss_type, momentum=args.momentum)
     trn_loader, tst_loader = build_loaders(data, pair_images=True)
 
     trn_tester = Tester(task, trn_loader, max_lines=1000)

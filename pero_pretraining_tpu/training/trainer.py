@@ -87,6 +87,10 @@ class Trainer:
         )
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # optional task hook (e.g. BYOL momentum-target EMA) — runs inside the
+        # jitted step with the POST-optimizer params
+        if hasattr(self.task, "post_update"):
+            new_model_state = self.task.post_update(new_params, new_model_state)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
