@@ -166,3 +166,97 @@ void stack_labels(const int32_t** labels, const int32_t* lengths, int32_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg) — the other half of the host hot path. cv2 also
+// decodes in C++, but this removes the dependency for the common case and
+// runs in the same persistent no-GIL pool as pack_lines.
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  std::jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  std::longjmp(err->jump, 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read dimensions without decoding. Returns 0 on success.
+int32_t jpeg_dims(const uint8_t* data, int64_t len, int32_t* h, int32_t* w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  *h = (int32_t)cinfo.image_height;
+  *w = (int32_t)cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode to BGR uint8 (cv2 channel order) into out (h, w, 3), row stride
+// `stride` bytes. Returns 0 on success.
+int32_t jpeg_decode_bgr(const uint8_t* data, int64_t len, uint8_t* out, int64_t stride) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // swap to BGR below (portable across libjpeg builds)
+  jpeg_start_decompress(&cinfo);
+  const int32_t w = (int32_t)cinfo.output_width;
+  std::vector<uint8_t> row((size_t)w * 3);
+  uint8_t* rowp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* dst = out + (int64_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    for (int32_t x = 0; x < w; ++x) {  // RGB -> BGR
+      dst[x * 3 + 0] = rowp[x * 3 + 2];
+      dst[x * 3 + 1] = rowp[x * 3 + 1];
+      dst[x * 3 + 2] = rowp[x * 3 + 0];
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Threaded batch decode using the persistent pool. oks[i] = 0 on success.
+void jpeg_decode_batch(const uint8_t** datas, const int64_t* lens, int32_t n,
+                       uint8_t** outs, const int64_t* strides, int32_t* oks,
+                       int32_t num_threads) {
+  Pool::instance().run(n, num_threads, [&](int32_t lo, int32_t hi) {
+    for (int32_t i = lo; i < hi; ++i) {
+      oks[i] = jpeg_decode_bgr(datas[i], lens[i], outs[i], strides[i]);
+    }
+  });
+}
+
+}  // extern "C"

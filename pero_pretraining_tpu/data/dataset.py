@@ -41,7 +41,18 @@ except ImportError:  # pragma: no cover
 
 def decode_image(data: bytes) -> Optional[np.ndarray]:
     """JPEG/PNG bytes -> (H, W, 3) uint8, BGR channel order (cv2 convention,
-    matching the reference's cv2.imdecode at common/dataset.py:57)."""
+    matching the reference's cv2.imdecode at common/dataset.py:57).
+
+    JPEGs go through the native libjpeg path (bit-identical to cv2, no
+    Python-level dependency, decodes in the persistent no-GIL pool when
+    batched); other formats fall back to cv2/PIL."""
+    if data[:2] == b"\xff\xd8":  # JPEG magic
+        from pero_pretraining_tpu.data import native
+
+        if native.available():
+            img = native.decode_jpeg(data)
+            if img is not None:
+                return img
     if HAS_CV2:
         img = cv2.imdecode(np.frombuffer(data, dtype=np.uint8), cv2.IMREAD_COLOR)
         return img

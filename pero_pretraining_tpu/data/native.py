@@ -31,7 +31,7 @@ def _build() -> Optional[str]:
     src = os.path.abspath(_SRC)
     if not os.path.exists(src):
         return None
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17", src, "-o", _LIB_PATH]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17", src, "-ljpeg", "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -77,6 +77,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_void_p,
+        ]
+        lib.jpeg_dims.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.jpeg_dims.restype = ctypes.c_int32
+        lib.jpeg_decode_bgr.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        lib.jpeg_decode_bgr.restype = ctypes.c_int32
+        lib.jpeg_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ]
         _lib = lib
         return _lib
@@ -153,3 +165,57 @@ def stack_labels(
         out.ctypes.data,
     )
     return out
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """Decode one JPEG to (H, W, 3) uint8 BGR; None on failure/unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if lib.jpeg_dims(buf.ctypes.data, len(data), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    if lib.jpeg_decode_bgr(buf.ctypes.data, len(data), out.ctypes.data, out.strides[0]) != 0:
+        return None
+    return out
+
+
+def decode_jpeg_batch(datas: Sequence[bytes], num_threads: int = 0) -> List[Optional[np.ndarray]]:
+    """Decode many JPEGs in the persistent no-GIL pool."""
+    lib = get_lib()
+    assert lib is not None
+    n = len(datas)
+    bufs = [np.frombuffer(d, dtype=np.uint8) for d in datas]
+    outs: List[Optional[np.ndarray]] = []
+    out_ptrs = (ctypes.c_void_p * n)()
+    strides = np.empty(n, dtype=np.int64)
+    for i, d in enumerate(datas):
+        h = ctypes.c_int32()
+        w = ctypes.c_int32()
+        if lib.jpeg_dims(bufs[i].ctypes.data, len(d), ctypes.byref(h), ctypes.byref(w)) != 0:
+            outs.append(None)
+            out_ptrs[i] = None
+            strides[i] = 0
+            continue
+        arr = np.empty((h.value, w.value, 3), dtype=np.uint8)
+        outs.append(arr)
+        out_ptrs[i] = arr.ctypes.data
+        strides[i] = arr.strides[0]
+    data_ptrs = (ctypes.c_void_p * n)(*[b.ctypes.data for b in bufs])
+    lens = np.asarray([len(d) for d in datas], dtype=np.int64)
+    oks = np.empty(n, dtype=np.int32)
+    if num_threads <= 0:
+        num_threads = min(8, os.cpu_count() or 1)
+    lib.jpeg_decode_batch(
+        ctypes.cast(data_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        ctypes.cast(out_ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        strides.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        oks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        num_threads,
+    )
+    return [out if ok == 0 else None for out, ok in zip(outs, oks)]

@@ -51,6 +51,29 @@ def test_native_matches_numpy_batches(lib, rng):
         np.testing.assert_array_equal(b_native[key], b_numpy[key], err_msg=key)
 
 
+def test_native_jpeg_decode_matches_cv2(lib, rng):
+    import cv2
+
+    from pero_pretraining_tpu.data.dataset import decode_image
+
+    img = rng.randint(0, 256, size=(40, 300, 3)).astype(np.uint8)
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+    data = enc.tobytes()
+
+    ours = native.decode_jpeg(data)
+    ref = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    np.testing.assert_array_equal(ours, ref)  # same libjpeg family: bit-identical
+
+    batch = native.decode_jpeg_batch([data] * 16)
+    for b in batch:
+        np.testing.assert_array_equal(b, ref)
+
+    # dataset entry point routes JPEGs through the native path
+    np.testing.assert_array_equal(decode_image(data), ref)
+    # corrupt input degrades gracefully
+    assert native.decode_jpeg(b"\xff\xd8 garbage") is None
+
+
 def test_native_not_slower(lib, rng):
     """Both paths are memory-bandwidth-bound memcpy; the native path must be
     in the same ballpark (its value is threading headroom at large batches
