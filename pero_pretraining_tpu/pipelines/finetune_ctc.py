@@ -56,6 +56,8 @@ def parse_arguments():
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--mesh-data", type=int, default=-1)
     parser.add_argument("--mesh-model", type=int, default=1)
+    parser.add_argument("--attention-impl", choices=("xla", "flash"), default="xla",
+                        help="Attention kernel: XLA fused (default) or Pallas flash (long sequences).")
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
 
@@ -103,7 +105,7 @@ def main():
     mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     print(f"Mesh: {dict(mesh.shape)}")
 
-    task = CTCTask(backbone, charset, training)
+    task = CTCTask(backbone, charset, training, attention_impl=args.attention_impl)
     trainer = Trainer(task, training, mesh=mesh)
 
     trn_tester = CTCTester(task, trn_loader, max_lines=1000)

@@ -78,6 +78,8 @@ def parse_arguments():
     parser.add_argument("--mesh-model", type=int, default=1, help="Tensor-parallel mesh axis.")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="Fuse N optimizer steps per device program (must divide view-step).")
+    parser.add_argument("--attention-impl", choices=("xla", "flash"), default="xla",
+                        help="Attention kernel: XLA fused (default) or Pallas flash (long sequences).")
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
 
@@ -134,7 +136,7 @@ def main():
     mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
     print(f"Mesh: {dict(mesh.shape)}")
 
-    task = MaskedTask(backbone, head, training)
+    task = MaskedTask(backbone, head, training, attention_impl=args.attention_impl)
     trn_loader, tst_loader = build_loaders(data, pair_images=False)
 
     trn_tester = Tester(task, trn_loader, max_lines=1000)
