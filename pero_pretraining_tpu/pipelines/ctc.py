@@ -124,18 +124,57 @@ class CTCTask:
         path = jnp.where(jnp.asarray(batch["image_masks"]) == 1, path, BLANK_ID)
         return loss, {"path": path}
 
+    def eval_logprobs_step(self, params, model_state, batch, rng):
+        """Like eval_step but returns full frame log-posteriors for beam search."""
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        logits, _ = self._apply(params, model_state, images, rng, train=False)
+        loss = self._ctc_loss(logits, batch)
+        return loss, {"log_probs": jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)}
+
     def decode_paths(self, paths: np.ndarray) -> List[str]:
         return [self.charset.decode(collapse_ctc(row)) for row in np.asarray(paths)]
 
 
 class CTCTester:
-    """Loss + greedy-decode CER over a dataloader."""
+    """Loss + CER over a dataloader; greedy (default) or beam+LM decoding."""
 
-    def __init__(self, task: CTCTask, dataloader, max_lines: Optional[int] = None):
+    def __init__(
+        self,
+        task: CTCTask,
+        dataloader,
+        max_lines: Optional[int] = None,
+        decoder: str = "greedy",
+        beam_width: int = 16,
+        lm=None,
+        lm_weight: float = 0.5,
+        insertion_bonus: float = 0.0,
+    ):
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.task = task
         self.dataloader = dataloader
         self.max_lines = max_lines
-        self._eval = jax.jit(task.eval_step)
+        self.decoder = decoder
+        self.beam_width = beam_width
+        self.lm = lm
+        self.lm_weight = lm_weight
+        self.insertion_bonus = insertion_bonus
+        self._eval = jax.jit(task.eval_step if decoder == "greedy" else task.eval_logprobs_step)
+
+    def _decode(self, aux, batch) -> List[str]:
+        if self.decoder == "greedy":
+            return self.task.decode_paths(aux["path"])
+        from pero_pretraining_tpu.utils.ctc_decode import decode_batch
+
+        return decode_batch(
+            np.asarray(aux["log_probs"]),
+            np.asarray(batch["image_masks"]),
+            self.task.charset,
+            beam_width=self.beam_width,
+            lm=self.lm,
+            lm_weight=self.lm_weight,
+            insertion_bonus=self.insertion_bonus,
+        )
 
     def test(self, state) -> Dict[str, float]:
         from pero_pretraining_tpu.training.tester import numeric_batch
@@ -146,7 +185,7 @@ class CTCTester:
         for batch in self.dataloader:
             loss, aux = self._eval(state.params, state.model_state, numeric_batch(batch), jax.random.PRNGKey(0))
             total_loss += float(loss)
-            hypotheses.extend(self.task.decode_paths(aux["path"]))
+            hypotheses.extend(self._decode(aux, batch))
             references.extend(batch["texts"])
             num_lines += batch["images"].shape[0]
             num_batches += 1

@@ -58,6 +58,12 @@ def parse_arguments():
     parser.add_argument("--mesh-model", type=int, default=1)
     parser.add_argument("--attention-impl", choices=("xla", "flash"), default="xla",
                         help="Attention kernel: XLA fused (default) or Pallas flash (long sequences).")
+    parser.add_argument("--decoder", choices=("greedy", "beam"), default="greedy",
+                        help="CER decoder: greedy argmax or prefix beam search (+ optional LM fusion).")
+    parser.add_argument("--beam-width", type=int, default=16)
+    parser.add_argument("--lm-path", default=None, help="Char n-gram LM (scripts/fit_char_lm.py).")
+    parser.add_argument("--lm-weight", type=float, default=0.5)
+    parser.add_argument("--insertion-bonus", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
 
@@ -108,8 +114,21 @@ def main():
     task = CTCTask(backbone, charset, training, attention_impl=args.attention_impl)
     trainer = Trainer(task, training, mesh=mesh)
 
-    trn_tester = CTCTester(task, trn_loader, max_lines=1000)
-    tst_tester = CTCTester(task, tst_loader)
+    lm = None
+    if args.lm_path:
+        from pero_pretraining_tpu.utils.lm import CharNgramLM
+
+        lm = CharNgramLM.load(args.lm_path)
+        print(f"LM loaded: order {lm.order}, {len(lm.vocab)} chars")
+    decoder_kwargs = dict(
+        decoder=args.decoder,
+        beam_width=args.beam_width,
+        lm=lm,
+        lm_weight=args.lm_weight,
+        insertion_bonus=args.insertion_bonus,
+    )
+    trn_tester = CTCTester(task, trn_loader, max_lines=1000, **decoder_kwargs)
+    tst_tester = CTCTester(task, tst_loader, **decoder_kwargs)
     logger = MetricsLogger(args.metrics_log)
     init_directories(args.checkpoints)
 

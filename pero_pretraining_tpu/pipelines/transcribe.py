@@ -37,6 +37,11 @@ def parse_arguments():
     parser.add_argument("--max-line-width", type=int, default=2048)
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--output", required=True)
+    parser.add_argument("--decoder", choices=("greedy", "beam"), default="greedy")
+    parser.add_argument("--beam-width", type=int, default=16)
+    parser.add_argument("--lm-path", default=None, help="Char n-gram LM (scripts/fit_char_lm.py) for shallow fusion.")
+    parser.add_argument("--lm-weight", type=float, default=0.5)
+    parser.add_argument("--insertion-bonus", type=float, default=0.0)
     return parser.parse_args()
 
 
@@ -66,18 +71,46 @@ def main():
         drop_last=False,
     )
 
+    lm = None
+    if args.lm_path:
+        from pero_pretraining_tpu.utils.lm import CharNgramLM
+
+        lm = CharNgramLM.load(args.lm_path)
+        print(f"LM loaded: order {lm.order}, {len(lm.vocab)} chars")
+
     @jax.jit
     def decode(params, model_state, images, image_masks):
         logits, _ = task._apply(params, model_state, images, jax.random.PRNGKey(0), train=False)
         path = jnp.argmax(logits.astype(jnp.float32), axis=-1)
         return jnp.where(image_masks == 1, path, BLANK_ID)
 
+    @jax.jit
+    def frame_log_probs(params, model_state, images):
+        logits, _ = task._apply(params, model_state, images, jax.random.PRNGKey(0), train=False)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    def transcribe_batch(batch):
+        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
+        if args.decoder == "greedy":
+            paths = np.asarray(decode(params, model_state, images, jnp.asarray(batch["image_masks"])))
+            return task.decode_paths(paths)
+        from pero_pretraining_tpu.utils.ctc_decode import decode_batch
+
+        log_probs = np.asarray(frame_log_probs(params, model_state, images))
+        return decode_batch(
+            log_probs,
+            np.asarray(batch["image_masks"]),
+            charset,
+            beam_width=args.beam_width,
+            lm=lm,
+            lm_weight=args.lm_weight,
+            insertion_bonus=args.insertion_bonus,
+        )
+
     count = 0
     with open(args.output, "w") as out:
         for batch in loader:
-            images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
-            paths = np.asarray(decode(params, model_state, images, jnp.asarray(batch["image_masks"])))
-            for line_id, text in zip(batch["ids"], task.decode_paths(paths)):
+            for line_id, text in zip(batch["ids"], transcribe_batch(batch)):
                 out.write(f"{line_id}\t{text}\n")
                 count += 1
     print(f"Transcribed {count} lines -> {args.output}")

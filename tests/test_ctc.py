@@ -112,6 +112,18 @@ def test_ctc_overfit_and_cer(rng):
     result = tester.test(state)
     assert result["cer"] < 0.2, f"CER too high after overfit: {result['cer']}"
 
+    # beam decoding on the same trained model is at least as good as greedy,
+    # and LM fusion over the training texts keeps it there
+    from pero_pretraining_tpu.utils.lm import CharNgramLM
+
+    beam = CTCTester(task, [batch], decoder="beam", beam_width=8)
+    beam_result = beam.test(state)
+    assert beam_result["cer"] <= result["cer"] + 1e-9
+    lm = CharNgramLM(order=3).fit(batch["texts"])
+    fused = CTCTester(task, [batch], decoder="beam", beam_width=8, lm=lm, lm_weight=0.3)
+    fused_result = fused.test(state)
+    assert fused_result["cer"] <= result["cer"] + 1e-9
+
 
 def test_backbone_grafting(rng, tmp_path):
     """Params from a masked-pretraining checkpoint land in the CTC model."""
