@@ -57,6 +57,7 @@ class BucketedDataLoader:
         self.seed = seed
         self.subsampling_factor = subsampling_factor
         self._epoch = 0
+        self._start_batch = 0
 
         kwargs = dict(creator_kwargs or {})
         kwargs.pop("pad_to", None)
@@ -102,11 +103,22 @@ class BucketedDataLoader:
                 total += -(-len(indices) // self.batch_size)
         return total
 
+    def skip_to(self, global_batch: int) -> None:
+        """Data-order resume: see DataLoader.skip_to. The per-epoch plan list
+        is deterministic given (seed, epoch), so skipping its prefix restores
+        the exact bucket/batch order of an uninterrupted run."""
+        per_epoch = len(self)
+        if per_epoch <= 0:
+            return
+        self._epoch = global_batch // per_epoch
+        self._start_batch = global_batch % per_epoch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from concurrent.futures import ThreadPoolExecutor
 
         rng = np.random.RandomState(self.seed + self._epoch)
         self._epoch += 1
+        first_batch, self._start_batch = self._start_batch, 0
 
         plans: List[tuple] = []  # (bucket, index array)
         for bucket, indices in self._assignments.items():
@@ -123,7 +135,7 @@ class BucketedDataLoader:
             rng.shuffle(plans)
 
         with ThreadPoolExecutor(self.num_workers) as pool:
-            for bucket, batch_idx in plans:
+            for bucket, batch_idx in plans[first_batch:]:
                 items = list(pool.map(self.dataset.__getitem__, batch_idx))
                 # clip oversized lines to their bucket (largest bucket only)
                 for item in items:

@@ -43,9 +43,23 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self._epoch = 0
+        self._start_batch = 0
 
     def name(self) -> str:
         return self.dataset.name() if hasattr(self.dataset, "name") else type(self.dataset).__name__
+
+    def skip_to(self, global_batch: int) -> None:
+        """Restore data order for resume: position the loader as if
+        `global_batch` batches had already been consumed. Shuffles are
+        deterministic per (seed, epoch), so order matches an uninterrupted
+        run exactly; the reference restarts data order from scratch on resume
+        (SURVEY.md §5 checkpoint notes). Collation randomness (left paddings)
+        is reseeded, mirroring the reference's unsaved host RNG."""
+        per_epoch = len(self)
+        if per_epoch <= 0:
+            return
+        self._epoch = global_batch // per_epoch
+        self._start_batch = global_batch % per_epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -60,6 +74,7 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()
         self._epoch += 1
+        first_batch, self._start_batch = self._start_batch, 0
         n_batches = len(indices) // self.batch_size
         if not self.drop_last and len(indices) % self.batch_size:
             n_batches += 1
@@ -70,7 +85,7 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_batches):
+                    for b in range(first_batch, n_batches):
                         if stop.is_set():
                             return
                         batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]

@@ -170,11 +170,17 @@ def init_directories(*directories):
             os.makedirs(directory, exist_ok=True)
 
 
-def maybe_resume(trainer, state, training_config: TrainingConfig):
+def maybe_resume(trainer, state, training_config: TrainingConfig, train_loader=None):
     """Resume = load the checkpoint at --start-iteration (reference:
-    train.py:243-251), but restoring the FULL train state."""
+    train.py:243-251), but restoring the FULL train state — and, when the
+    train loader is given, the exact data order (one batch per iteration, so
+    the loader fast-forwards to batch --start-iteration; the reference
+    restarts data order from scratch on resume, SURVEY.md §5)."""
     if training_config.start_iteration > 0 and training_config.checkpoints_dir:
         path = get_checkpoint_path(training_config.checkpoints_dir, training_config.start_iteration)
         state = load_checkpoint(state, path)
         print(f"Resumed from {path} at step {int(state.step)}")
+        if train_loader is not None and hasattr(train_loader, "skip_to"):
+            train_loader.skip_to(training_config.start_iteration)
+            print(f"Data order restored: epoch {train_loader._epoch}, batch {train_loader._start_batch}")
     return state

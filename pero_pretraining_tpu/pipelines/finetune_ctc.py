@@ -169,7 +169,7 @@ def main():
     else:
         state = trainer.init_state(sample)
 
-    state = maybe_resume(trainer, state, training)
+    state = maybe_resume(trainer, state, training, trn_loader)
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration)
     print("Training finished")

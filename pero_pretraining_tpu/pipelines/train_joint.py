@@ -145,7 +145,7 @@ def main():
     )
 
     state = trainer.init_state(next(iter(trn_loader)))
-    state = maybe_resume(trainer, state, training)
+    state = maybe_resume(trainer, state, training, trn_loader)
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call)

@@ -157,7 +157,7 @@ def main():
     )
 
     state = trainer.init_state(next(iter(trn_loader)))
-    state = maybe_resume(trainer, state, training)
+    state = maybe_resume(trainer, state, training, trn_loader)
     from pero_pretraining_tpu.training.tester import numeric_batch
 
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))

@@ -226,3 +226,50 @@ def test_dataloader_propagates_errors(image_store):
     loader = DataLoader(ds, batch_size=4, num_workers=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_dataloader_skip_to_restores_order(image_store):
+    """Data-order resume: skip_to(k) must reproduce batches k.. of an
+    uninterrupted multi-epoch run (ids compared; shuffles are per-epoch)."""
+    store_path, lines_path, _ = image_store
+
+    def make_loader():
+        ds = LinesDataset(store_path, lines_path, max_width=512)
+        return DataLoader(ds, BatchCreator(pad_to=512, seed=0), batch_size=4, shuffle=True, num_workers=2, seed=7)
+
+    reference_ids = []
+    loader = make_loader()
+    for _ in range(3):  # 3 epochs x 3 batches
+        for batch in loader:
+            reference_ids.append(list(batch["ids"]))
+
+    for k in (0, 2, 4, 7):
+        resumed = make_loader()
+        resumed.skip_to(k)
+        got = []
+        while len(got) < len(reference_ids) - k:
+            for batch in resumed:
+                got.append(list(batch["ids"]))
+        assert got[: len(reference_ids) - k] == reference_ids[k:], f"mismatch at k={k}"
+
+
+def test_bucketed_loader_skip_to_restores_order(image_store):
+    from pero_pretraining_tpu.data.bucketing import BucketedDataLoader
+
+    store_path, lines_path, _ = image_store
+
+    def make_loader():
+        ds = LinesDataset(store_path, lines_path, max_width=512)
+        return BucketedDataLoader(ds, buckets=(256, 512), batch_size=4, shuffle=True, num_workers=2, seed=3, drop_last=False)
+
+    loader = make_loader()
+    reference_ids = [list(b["ids"]) for _ in range(2) for b in loader]
+
+    k = len(reference_ids) // 2
+    resumed = make_loader()
+    resumed.skip_to(k)
+    got = []
+    while len(got) < len(reference_ids) - k:
+        for batch in resumed:
+            got.append(list(batch["ids"]))
+    assert got[: len(reference_ids) - k] == reference_ids[k:]
