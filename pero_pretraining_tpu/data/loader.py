@@ -71,6 +71,20 @@ class DataLoader:
             np.random.RandomState(self.seed + self._epoch).shuffle(indices)
         return indices
 
+    def plan(self, epoch: int) -> list:
+        """Deterministic batch plan for `epoch`: list of dataset-index arrays,
+        one per batch, in yield order. This is the loader's data order as a
+        pure function of (seed, epoch) — the contract behind skip_to resume
+        and multi-process sharding (data/multiprocess.py)."""
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(indices)
+        n_batches = len(indices) // self.batch_size
+        plans = [indices[b * self.batch_size : (b + 1) * self.batch_size] for b in range(n_batches)]
+        if not self.drop_last and len(indices) % self.batch_size:
+            plans.append(indices[n_batches * self.batch_size :])
+        return plans
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices = self._indices()
         self._epoch += 1

@@ -1,0 +1,150 @@
+"""Multi-process sharded data loading for pod-scale hosts.
+
+A single loader process tops out when JPEG decode saturates its cores (the
+reference hits the same wall with torch DataLoader workers, which it shards
+manually via the dataset `skip` offset — reference common/dataset.py:26).
+This wrapper runs N independent loader PROCESSES, each materializing the
+batches `g` with `g % N == rank` of the deterministic global plan
+(DataLoader.plan), and the parent reassembles them in exact plan order — the
+batch stream is bit-identical in ORDER to the single-process loader, so
+shuffles, skip_to resume, and parity tests carry over unchanged. (Collation
+randomness within a batch is per-process, as with torch's workers.)
+
+Workers are spawned (never forked — the parent typically holds JAX/TPU
+state) and import only the data layer. The loader is described by a
+picklable SPEC (plain dict) built by `spec_from_data_config`, and each
+worker constructs its own loader from it — no live objects cross the
+process boundary except finished batches.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def build_loader_from_spec(spec: Dict[str, Any]):
+    """Construct the train DataLoader described by `spec` (runs in workers
+    and in the parent for metadata). Spec keys: data_config (DataConfig
+    field dict), pair_images (bool)."""
+    from pero_pretraining_tpu.configs import DataConfig
+    from pero_pretraining_tpu.pipelines.cli_common import build_loaders
+
+    data_config = DataConfig(**spec["data_config"])
+    trn_loader, _ = build_loaders(data_config, pair_images=spec.get("pair_images", False))
+    return trn_loader
+
+
+def spec_from_data_config(data_config, pair_images: bool = False) -> Dict[str, Any]:
+    import dataclasses
+
+    return {"data_config": dataclasses.asdict(data_config), "pair_images": pair_images}
+
+
+def _worker(spec, rank, world, start_batch, out_queue, stop_event):
+    try:
+        loader = build_loader_from_spec(spec)
+        per_epoch = len(loader)
+        if per_epoch <= 0:
+            out_queue.put(("done", None))
+            return
+        g = start_batch + ((rank - start_batch) % world)  # first g >= start with g % world == rank
+        plan_epoch, plan = -1, None
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(loader.num_workers) as pool:
+            while not stop_event.is_set():
+                epoch = g // per_epoch
+                if epoch != plan_epoch:
+                    plan_epoch, plan = epoch, loader.plan(epoch)
+                batch_idx = plan[g % per_epoch]
+                items = list(pool.map(loader.dataset.__getitem__, batch_idx))
+                out_queue.put(("batch", g, loader.batch_creator.create_batch(items)))
+                g += world
+    except BaseException as e:  # surface worker crashes in the parent
+        out_queue.put(("error", rank, e))
+
+
+class MultiProcessLoader:
+    """N-process sharded loader with the exact batch order of the
+    single-process DataLoader it wraps."""
+
+    def __init__(self, spec: Dict[str, Any], num_procs: int = 2, queue_depth: int = 2):
+        if num_procs < 1:
+            raise ValueError("num_procs must be >= 1")
+        self.spec = spec
+        self.num_procs = num_procs
+        self.queue_depth = queue_depth
+        # local (non-decoding) copy for len/name/plan metadata
+        self._meta = build_loader_from_spec(spec)
+        self._next_global = 0
+        self._procs: list = []
+        self._queues: list = []
+        self._stop = None
+
+    def name(self) -> str:
+        return self._meta.name()
+
+    def __len__(self) -> int:
+        return len(self._meta)
+
+    def skip_to(self, global_batch: int) -> None:
+        """Data-order resume; must be called before iteration starts."""
+        if self._procs:
+            raise RuntimeError("skip_to after workers started; call close() first")
+        self._next_global = global_batch
+
+    def _ensure_workers(self):
+        if self._procs:
+            return
+        ctx = mp.get_context("spawn")
+        self._stop = ctx.Event()
+        for rank in range(self.num_procs):
+            q = ctx.Queue(self.queue_depth)
+            p = ctx.Process(
+                target=_worker,
+                args=(self.spec, rank % self.num_procs, self.num_procs, self._next_global, q, self._stop),
+                daemon=True,
+            )
+            p.start()
+            self._queues.append(q)
+            self._procs.append(p)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """One epoch's worth of batches (persistent workers keep streaming
+        across calls, so iter_forever costs no respawns)."""
+        self._ensure_workers()
+        per_epoch = len(self)
+        end = (self._next_global // per_epoch + 1) * per_epoch
+        while self._next_global < end:
+            g = self._next_global
+            msg = self._queues[g % self.num_procs].get()
+            if msg[0] == "error":
+                self.close()
+                raise msg[2]
+            assert msg[1] == g, f"out-of-order batch: expected {g}, got {msg[1]}"
+            self._next_global += 1
+            yield msg[2]
+
+    def close(self) -> None:
+        if self._stop is not None:
+            self._stop.set()
+        for q in self._queues:  # unblock producers stuck on put()
+            try:
+                while True:
+                    q.get_nowait()
+            except Exception:
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs, self._queues, self._stop = [], [], None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

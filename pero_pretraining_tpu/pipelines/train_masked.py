@@ -74,6 +74,9 @@ def parse_arguments():
     parser.add_argument("--metrics-log", default=None, help="JSONL metrics output path.")
 
     parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--loader-procs", type=int, default=1,
+                        help="Loader PROCESSES feeding the train stream (decode scales past one "
+                             "core's worth of JPEG throughput; batch order is unchanged).")
     parser.add_argument("--mesh-data", type=int, default=-1, help="Data-parallel mesh axis (-1: all devices).")
     parser.add_argument("--mesh-model", type=int, default=1, help="Tensor-parallel mesh axis.")
     parser.add_argument("--steps-per-call", type=int, default=1,
@@ -156,13 +159,22 @@ def main():
         args.checkpoints, args.visualizations, logger,
     )
 
+    train_stream = trn_loader
+    if args.loader_procs > 1:
+        from pero_pretraining_tpu.data.multiprocess import MultiProcessLoader, spec_from_data_config
+
+        train_stream = MultiProcessLoader(spec_from_data_config(data, pair_images=False), num_procs=args.loader_procs)
+        print(f"Loader processes: {args.loader_procs}")
+
     state = trainer.init_state(next(iter(trn_loader)))
-    state = maybe_resume(trainer, state, training, trn_loader)
+    state = maybe_resume(trainer, state, training, train_stream)
     from pero_pretraining_tpu.training.tester import numeric_batch
 
-    batches = (numeric_batch(b) for b in iter_forever(trn_loader))
+    batches = (numeric_batch(b) for b in iter_forever(train_stream))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call)
+    if hasattr(train_stream, "close"):
+        train_stream.close()
     print("Training finished")
     logger.close()
     return 0

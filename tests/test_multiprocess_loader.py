@@ -1,0 +1,87 @@
+"""MultiProcessLoader: N spawned loader processes must reproduce the exact
+batch order of the single-process DataLoader, including skip_to resume."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from pero_pretraining_tpu.configs import DataConfig
+from pero_pretraining_tpu.data.dataset import encode_image
+from pero_pretraining_tpu.data.multiprocess import MultiProcessLoader, build_loader_from_spec
+from pero_pretraining_tpu.data.storage import SqliteStore
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    store_path = str(tmp_path / "images.sqlite")
+    lines_path = str(tmp_path / "lines.txt")
+    store = SqliteStore(store_path, readonly=False)
+    with open(lines_path, "w") as f:
+        for i in range(12):
+            w = int(rng.randint(100, 400))
+            img = rng.randint(0, 256, size=(40, w, 3)).astype(np.uint8)
+            image_id = f"line_{i:03d}.png"
+            store.put(image_id, encode_image(img, ".png"))
+            labels = rng.randint(0, 100, size=-(-w // 8)).tolist()
+            f.write(f"{image_id} {' '.join(map(str, labels))}\n")
+    store.commit()
+    store.close()
+    spec = {
+        "data_config": dataclasses.asdict(
+            DataConfig(
+                lmdb_path=store_path, trn_path=lines_path, tst_path=lines_path,
+                batch_size=4, max_width=512, num_workers=2, seed=5, shuffle=True,
+            )
+        ),
+        "pair_images": False,
+    }
+    return spec
+
+
+def _epoch_ids(loader, epochs):
+    out = []
+    for _ in range(epochs):
+        for batch in loader:
+            out.append(list(batch["ids"]))
+    return out
+
+
+def test_multiprocess_matches_single_process_order(corpus):
+    single = build_loader_from_spec(corpus)
+    want = _epoch_ids(single, 2)
+
+    mp_loader = MultiProcessLoader(corpus, num_procs=2)
+    try:
+        assert len(mp_loader) == len(single)
+        got = _epoch_ids(mp_loader, 2)
+    finally:
+        mp_loader.close()
+    assert got == want
+
+
+def test_multiprocess_skip_to(corpus):
+    single = build_loader_from_spec(corpus)
+    want = _epoch_ids(single, 2)  # 6 batches
+
+    mp_loader = MultiProcessLoader(corpus, num_procs=2)
+    try:
+        mp_loader.skip_to(4)
+        got = []
+        for batch in mp_loader:  # finishes epoch 1: batches 4, 5
+            got.append(list(batch["ids"]))
+    finally:
+        mp_loader.close()
+    assert got == want[4:6]
+
+
+def test_multiprocess_rejects_late_skip(corpus):
+    mp_loader = MultiProcessLoader(corpus, num_procs=2)
+    try:
+        it = iter(mp_loader)
+        next(it)
+        with pytest.raises(RuntimeError):
+            mp_loader.skip_to(0)
+    finally:
+        mp_loader.close()
