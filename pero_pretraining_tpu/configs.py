@@ -187,6 +187,8 @@ class TrainingConfig:
     span_length: int = 3
     unmasked_weight: Optional[float] = None
     device_augment: bool = False
+    # fuse the linear head into the CE (logits never materialize; ops/fused_ce.py)
+    fused_ce: bool = False
     checkpoints_dir: Optional[str] = None
     visualizations_dir: Optional[str] = None
     seed: int = 0
