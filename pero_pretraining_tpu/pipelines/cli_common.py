@@ -141,6 +141,7 @@ def make_view_step_handler(
     checkpoints_dir: Optional[str],
     visualizations_dir: Optional[str],
     logger: Optional[MetricsLogger] = None,
+    checkpointer=None,
 ):
     def handler(iteration, state, elapsed, count, metrics):
         lines = count * trainer.config.batch_size
@@ -149,7 +150,11 @@ def make_view_step_handler(
             f"({lines / elapsed:.1f} lines/s), loss: {metrics.get('loss', float('nan')):.6f}"
         )
         if checkpoints_dir:
-            save_checkpoint(state, get_checkpoint_path(checkpoints_dir, iteration))
+            path = get_checkpoint_path(checkpoints_dir, iteration)
+            if checkpointer is not None:
+                checkpointer.save(state, path)  # IO overlaps the next steps
+            else:
+                save_checkpoint(state, path)
         lr = trainer.current_lr(state)
         if trn_tester is not None:
             report(iteration, trn_tester.dataloader.name(), trn_tester.test(state), lr, logger)
@@ -168,6 +173,23 @@ def init_directories(*directories):
     for directory in directories:
         if directory:
             os.makedirs(directory, exist_ok=True)
+
+
+def resolve_start_iteration(start_iteration: int, checkpoints_dir: Optional[str]) -> int:
+    """`--start-iteration -1` = auto-resume from the latest checkpoint in
+    --checkpoints (0 when none exists)."""
+    if start_iteration >= 0:
+        return start_iteration
+    from pero_pretraining_tpu.training.checkpoint import find_latest_checkpoint
+
+    if not checkpoints_dir:
+        return 0
+    path, iteration = find_latest_checkpoint(checkpoints_dir)
+    if path is None:
+        print("auto-resume: no checkpoint found, starting fresh")
+        return 0
+    print(f"auto-resume: latest checkpoint is {path}")
+    return iteration
 
 
 def maybe_resume(trainer, state, training_config: TrainingConfig, train_loader=None):

@@ -22,7 +22,7 @@ from pero_pretraining_tpu.parallel.mesh import create_mesh
 from pero_pretraining_tpu.pipelines.cli_common import init_directories, maybe_resume
 from pero_pretraining_tpu.pipelines.ctc import CTCTask, CTCTester
 from pero_pretraining_tpu.pipelines.train_masked import iter_forever
-from pero_pretraining_tpu.training.checkpoint import get_checkpoint_path, save_checkpoint
+from pero_pretraining_tpu.training.checkpoint import get_checkpoint_path
 from pero_pretraining_tpu.training.tester import numeric_batch
 from pero_pretraining_tpu.training.trainer import Trainer
 from pero_pretraining_tpu.utils.logging import MetricsLogger
@@ -40,7 +40,8 @@ def parse_arguments():
 
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--learning-rate", type=float, default=1e-4)
-    parser.add_argument("--start-iteration", type=int, default=0)
+    parser.add_argument("--start-iteration", type=int, default=0,
+                        help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
     parser.add_argument("--end-iteration", type=int, default=50000)
     parser.add_argument("--max-line-width", type=int, default=2048)
     parser.add_argument("--max-label-len", type=int, default=256)
@@ -49,6 +50,8 @@ def parse_arguments():
     parser.add_argument("--backbone", type=parse_json_definition, default="{}")
 
     parser.add_argument("--view-step", type=int, default=500)
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        help="Retain only the newest N checkpoints (0 = keep all).")
     parser.add_argument("--checkpoints", default=None)
     parser.add_argument("--bfloat16", action="store_true")
     parser.add_argument("--metrics-log", default=None)
@@ -71,6 +74,10 @@ def parse_arguments():
 def main():
     args = parse_arguments()
     print(args)
+
+    from pero_pretraining_tpu.pipelines.cli_common import resolve_start_iteration
+
+    args.start_iteration = resolve_start_iteration(args.start_iteration, args.checkpoints)
 
     from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
 
@@ -132,13 +139,17 @@ def main():
     logger = MetricsLogger(args.metrics_log)
     init_directories(args.checkpoints)
 
+    from pero_pretraining_tpu.training.checkpoint import AsyncCheckpointer
+
+    checkpointer = AsyncCheckpointer(keep_last=args.keep_checkpoints) if args.checkpoints else None
+
     def handler(iteration, state, elapsed, count, metrics):
         print(
             f"Iteration: {iteration}, time: {elapsed:.2f} s, speed: {count / elapsed:.2f} it/s, "
             f"loss: {metrics.get('loss', float('nan')):.6f}"
         )
-        if args.checkpoints:
-            save_checkpoint(state, get_checkpoint_path(args.checkpoints, iteration))
+        if checkpointer is not None:
+            checkpointer.save(state, get_checkpoint_path(args.checkpoints, iteration))
         for name, tester in (("trn", trn_tester), ("tst", tst_tester)):
             result = tester.test(state)
             print(f"TEST {name} iteration:{iteration} loss:{result['loss']:.6f} cer:{result['cer']:.4f}")
@@ -172,6 +183,8 @@ def main():
     state = maybe_resume(trainer, state, training, trn_loader)
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration)
+    if checkpointer is not None:
+        checkpointer.close()
     print("Training finished")
     logger.close()
     return 0

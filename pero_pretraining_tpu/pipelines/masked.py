@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
-from pero_pretraining_tpu.losses.masked_ce import masked_cross_entropy
+from pero_pretraining_tpu.losses.masked_ce import masked_cross_entropy, masked_cross_entropy_fused
 from pero_pretraining_tpu.models.heads import build_head
 from pero_pretraining_tpu.models.transformer import build_backbone
 from pero_pretraining_tpu.ops.masking import sample_patch_mask, sample_span_mask
@@ -58,6 +58,8 @@ class MaskedTask:
         self.span_length = training_config.span_length
         self.unmasked_weight = training_config.unmasked_weight
         self.device_augment = training_config.device_augment
+        # fused head+CE only applies to a linear head (ops/fused_ce.py)
+        self.fused_ce = training_config.fused_ce and head_config.type == "linear"
 
     # Trainer protocol -------------------------------------------------------
     def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
@@ -98,6 +100,26 @@ class MaskedTask:
         logits = self.model.apply(variables, images, mask, train=train, rngs=rngs)
         return logits, model_state
 
+    def _apply_backbone(self, params, model_state, images, mask, rng, train: bool):
+        """Backbone frames only (for the fused head+CE path)."""
+        variables = {"params": params, **model_state}
+        rngs = None
+        if train:
+            pos_rng, drop_rng = jax.random.split(rng)
+            rngs = {"positions": pos_rng, "dropout": drop_rng}
+
+        def run(model, images, mask, train):
+            return model.backbone(images, mask, train=train)
+
+        mutable = [k for k in model_state.keys()] if train else False
+        if train and mutable:
+            frames, new_state = self.model.apply(
+                variables, images, mask, train=True, rngs=rngs, mutable=mutable, method=run
+            )
+            return frames, dict(new_state)
+        frames = self.model.apply(variables, images, mask, train=train, rngs=rngs, method=run)
+        return frames, model_state
+
     def loss_fn(self, params, model_state, batch, rng, train: bool):
         mask_rng, shift_rng, model_rng = jax.random.split(rng, 3)
         images, labels = self._prepare(shift_rng, batch)
@@ -105,8 +127,15 @@ class MaskedTask:
         if mask is None:
             mask = self._sample_mask(mask_rng, labels)
 
-        logits, new_model_state = self._apply(params, model_state, images, mask, model_rng, train)
-        losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)
+        if self.fused_ce:
+            frames, new_model_state = self._apply_backbone(params, model_state, images, mask, model_rng, train)
+            dense = params["head"]["linear"]
+            kernel = dense["kernel"].astype(frames.dtype)
+            bias = dense["bias"].astype(frames.dtype)
+            losses = masked_cross_entropy_fused(frames, kernel, bias, labels, mask, self.unmasked_weight)
+        else:
+            logits, new_model_state = self._apply(params, model_state, images, mask, model_rng, train)
+            losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)
         metrics = {k: v for k, v in losses.items()}
         return losses["loss"], (new_model_state, metrics)
 

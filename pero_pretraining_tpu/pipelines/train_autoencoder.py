@@ -40,7 +40,8 @@ def parse_arguments():
 
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--learning-rate", type=float, default=1e-5)
-    parser.add_argument("--start-iteration", type=int, default=0)
+    parser.add_argument("--start-iteration", type=int, default=0,
+                        help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
     parser.add_argument("--end-iteration", type=int, default=100000)
     parser.add_argument("--max-line-width", type=int, default=2048)
     parser.add_argument("--warmup-iterations", type=int, default=0)
@@ -53,6 +54,8 @@ def parse_arguments():
     )
 
     parser.add_argument("--view-step", type=int, default=500)
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        help="Retain only the newest N checkpoints (0 = keep all).")
     parser.add_argument("--checkpoints", default=None)
     parser.add_argument("--visualizations", default=None)
     parser.add_argument("--bfloat16", action="store_true")
@@ -72,6 +75,10 @@ def parse_arguments():
 def main():
     args = parse_arguments()
     print(args)
+
+    from pero_pretraining_tpu.pipelines.cli_common import resolve_start_iteration
+
+    args.start_iteration = resolve_start_iteration(args.start_iteration, args.checkpoints)
 
     from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
 
@@ -126,9 +133,12 @@ def main():
     logger = MetricsLogger(args.metrics_log, clearml_logger=clearml_logger)
 
     trainer = Trainer(task, training, mesh=mesh)
+    from pero_pretraining_tpu.training.checkpoint import AsyncCheckpointer
+
+    checkpointer = AsyncCheckpointer(keep_last=args.keep_checkpoints) if args.checkpoints else None
     trainer.on_view_step = make_view_step_handler(
         task, trainer, trn_tester, tst_tester, trn_visualizer, tst_visualizer,
-        args.checkpoints, args.visualizations, logger,
+        args.checkpoints, args.visualizations, logger, checkpointer=checkpointer,
     )
 
     state = trainer.init_state(next(iter(trn_loader)))
@@ -136,6 +146,8 @@ def main():
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call)
+    if checkpointer is not None:
+        checkpointer.close()
     print("Training finished")
     logger.close()
     return 0

@@ -44,7 +44,8 @@ def parse_arguments():
     parser.add_argument("--loss-type", choices=("vicreg", "ntxent"), default="vicreg")
     parser.add_argument("--momentum", type=float, default=0.0,
                         help="BYOL-style EMA target branch (0 = reference shared-weights behavior).")
-    parser.add_argument("--start-iteration", type=int, default=0)
+    parser.add_argument("--start-iteration", type=int, default=0,
+                        help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
     parser.add_argument("--end-iteration", type=int, default=100000)
     parser.add_argument("--max-line-width", type=int, default=2048)
     parser.add_argument("--warmup-iterations", type=int, default=10000)
@@ -56,6 +57,8 @@ def parse_arguments():
     parser.add_argument("--head", type=parse_json_definition, default="{}")
 
     parser.add_argument("--view-step", type=int, default=500)
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        help="Retain only the newest N checkpoints (0 = keep all).")
     parser.add_argument("--checkpoints", default=None)
     parser.add_argument("--visualizations", default=None)
     parser.add_argument("--bfloat16", action="store_true")
@@ -77,6 +80,10 @@ def parse_arguments():
 def main():
     args = parse_arguments()
     print(args)
+
+    from pero_pretraining_tpu.pipelines.cli_common import resolve_start_iteration
+
+    args.start_iteration = resolve_start_iteration(args.start_iteration, args.checkpoints)
 
     from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
 
@@ -139,9 +146,12 @@ def main():
     logger = MetricsLogger(args.metrics_log, clearml_logger=clearml_logger)
 
     trainer = Trainer(task, training, mesh=mesh)
+    from pero_pretraining_tpu.training.checkpoint import AsyncCheckpointer
+
+    checkpointer = AsyncCheckpointer(keep_last=args.keep_checkpoints) if args.checkpoints else None
     trainer.on_view_step = make_view_step_handler(
         task, trainer, trn_tester, tst_tester, trn_visualizer, tst_visualizer,
-        args.checkpoints, args.visualizations, logger,
+        args.checkpoints, args.visualizations, logger, checkpointer=checkpointer,
     )
 
     state = trainer.init_state(next(iter(trn_loader)))
@@ -149,6 +159,8 @@ def main():
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call)
+    if checkpointer is not None:
+        checkpointer.close()
     print("Training finished")
     logger.close()
     return 0

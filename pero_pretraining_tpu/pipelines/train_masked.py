@@ -46,7 +46,8 @@ def parse_arguments():
     parser.add_argument("--masking-prob", type=float, default=0.15)
     parser.add_argument("--masking-mode", choices=("iid", "span"), default="iid")
     parser.add_argument("--span-length", type=int, default=3)
-    parser.add_argument("--start-iteration", type=int, default=0)
+    parser.add_argument("--start-iteration", type=int, default=0,
+                        help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
     parser.add_argument("--end-iteration", type=int, default=100000)
     parser.add_argument("--max-line-width", type=int, default=2048)
     parser.add_argument("--buckets", default=None,
@@ -60,11 +61,18 @@ def parse_arguments():
         action="store_true",
         help="Fuse the shift augmentation into the jitted step (host only left-aligns lines).",
     )
+    parser.add_argument(
+        "--fused-ce",
+        action="store_true",
+        help="Fuse the linear head into the CE loss (vocab-chunked; logits never materialize in HBM).",
+    )
 
     parser.add_argument("--backbone", type=parse_json_definition, default="{}", help="Backbone JSON definition.")
     parser.add_argument("--head", type=parse_json_definition, default="{}", help="Head JSON definition.")
 
     parser.add_argument("--view-step", type=int, default=500)
+    parser.add_argument("--keep-checkpoints", type=int, default=0,
+                        help="Retain only the newest N checkpoints (0 = keep all).")
     parser.add_argument("--checkpoints", default=None)
     parser.add_argument("--visualizations", default=None)
     parser.add_argument("--show-masked-images", action="store_true")
@@ -90,6 +98,10 @@ def parse_arguments():
 def main():
     args = parse_arguments()
     print(args)
+
+    from pero_pretraining_tpu.pipelines.cli_common import resolve_start_iteration
+
+    args.start_iteration = resolve_start_iteration(args.start_iteration, args.checkpoints)
 
     from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
 
@@ -117,6 +129,7 @@ def main():
         span_length=args.span_length,
         unmasked_weight=args.unmasked_weight,
         device_augment=args.device_augment,
+        fused_ce=args.fused_ce,
         checkpoints_dir=args.checkpoints,
         visualizations_dir=args.visualizations,
         seed=args.seed,
@@ -154,9 +167,12 @@ def main():
     logger = MetricsLogger(args.metrics_log, clearml_logger=clearml_logger)
 
     trainer = Trainer(task, training, mesh=mesh)
+    from pero_pretraining_tpu.training.checkpoint import AsyncCheckpointer
+
+    checkpointer = AsyncCheckpointer(keep_last=args.keep_checkpoints) if args.checkpoints else None
     trainer.on_view_step = make_view_step_handler(
         task, trainer, trn_tester, tst_tester, trn_visualizer, tst_visualizer,
-        args.checkpoints, args.visualizations, logger,
+        args.checkpoints, args.visualizations, logger, checkpointer=checkpointer,
     )
 
     train_stream = trn_loader
@@ -175,6 +191,8 @@ def main():
                 steps_per_call=args.steps_per_call)
     if hasattr(train_stream, "close"):
         train_stream.close()
+    if checkpointer is not None:
+        checkpointer.close()
     print("Training finished")
     logger.close()
     return 0

@@ -44,6 +44,84 @@ def load_checkpoint(template: TrainState, path: str) -> TrainState:
     return serialization.from_bytes(template, data)
 
 
+def find_latest_checkpoint(checkpoints_directory: str):
+    """(path, iteration) of the highest-numbered checkpoint, or (None, 0).
+    Enables `--start-iteration -1` auto-resume after a crash — the failure
+    story the reference handles with manual `--skip` offsets (reference:
+    common/dataset.py:26; SURVEY.md §5)."""
+    import re
+
+    best_it, best_path = -1, None
+    if os.path.isdir(checkpoints_directory):
+        for name in os.listdir(checkpoints_directory):
+            m = re.fullmatch(r"checkpoint_(\d+)\.msgpack", name)
+            if m and int(m.group(1)) > best_it:
+                best_it = int(m.group(1))
+                best_path = os.path.join(checkpoints_directory, name)
+    return best_path, max(best_it, 0)
+
+
+def prune_checkpoints(checkpoints_directory: str, keep_last: int) -> None:
+    """Delete all but the newest `keep_last` checkpoints (by iteration)."""
+    import re
+
+    if keep_last <= 0 or not os.path.isdir(checkpoints_directory):
+        return
+    found = []
+    for name in os.listdir(checkpoints_directory):
+        m = re.fullmatch(r"checkpoint_(\d+)\.msgpack", name)
+        if m:
+            found.append((int(m.group(1)), os.path.join(checkpoints_directory, name)))
+    for _, path in sorted(found)[:-keep_last]:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+class AsyncCheckpointer:
+    """Overlaps checkpoint serialization + disk IO with training.
+
+    `save` synchronously copies the state to host (must happen before the
+    next donated train step invalidates the device buffers) and hands the
+    msgpack encode + atomic write to a single background thread. At most one
+    write is in flight; a second save waits for the first (bounded memory).
+    Call `wait()` before reading the file back or exiting.
+    """
+
+    def __init__(self, keep_last: int = 0):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+        self._pending = None
+        self.keep_last = keep_last
+
+    def save(self, state: TrainState, path: str) -> None:
+        self.wait()
+        host_state = jax.device_get(state)
+
+        def write():
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            data = serialization.to_bytes(host_state)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            if self.keep_last:
+                prune_checkpoints(os.path.dirname(path) or ".", self.keep_last)
+
+        self._pending = self._pool.submit(write)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.result()  # re-raises write errors
+            self._pending = None
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown()
+
+
 def save_params(params, path: str) -> str:
     """Params-only export (interops with eval / label-production tools)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
