@@ -189,6 +189,9 @@ class TrainingConfig:
     device_augment: bool = False
     # fuse the linear head into the CE (logits never materialize; ops/fused_ce.py)
     fused_ce: bool = False
+    # microbatch gradient accumulation: batch is split into grad_accum
+    # leading-dim slices scanned inside the jitted step (one optimizer update)
+    grad_accum: int = 1
     checkpoints_dir: Optional[str] = None
     visualizations_dir: Optional[str] = None
     seed: int = 0

@@ -39,6 +39,8 @@ def parse_arguments():
     parser.add_argument("--augmentations", default=None)
 
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Split each batch into N microbatches scanned inside the step (one optimizer update; activation memory / N).")
     parser.add_argument("--learning-rate", type=float, default=1e-4)
     parser.add_argument("--start-iteration", type=int, default=0,
                         help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
@@ -98,6 +100,7 @@ def main():
         end_iteration=args.end_iteration,
         view_step=args.view_step,
         batch_size=args.batch_size,
+        grad_accum=args.grad_accum,
         bfloat16=args.bfloat16,
         checkpoints_dir=args.checkpoints,
         seed=args.seed,

@@ -42,6 +42,8 @@ def parse_arguments():
     parser.add_argument("--augmentations", default=None, help="Augmentation preset (none/universal/light/strong).")
 
     parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Split each batch into N microbatches scanned inside the step (one optimizer update; activation memory / N).")
     parser.add_argument("--learning-rate", type=float, default=0.0002)
     parser.add_argument("--masking-prob", type=float, default=0.15)
     parser.add_argument("--masking-mode", choices=("iid", "span"), default="iid")
@@ -123,6 +125,7 @@ def main():
         end_iteration=args.end_iteration,
         view_step=args.view_step,
         batch_size=args.batch_size,
+        grad_accum=args.grad_accum,
         bfloat16=args.bfloat16,
         masking_prob=args.masking_prob,
         masking_mode=args.masking_mode,

@@ -79,12 +79,50 @@ class Trainer:
         return TrainState.create(params, model_state, opt_state, self.config.seed)
 
     # ------------------------------------------------------------- train step
+    def _grads(self, state: TrainState, batch: Any, rng):
+        """(grads, new_model_state, metrics) — one shot, or accumulated over
+        `grad_accum` microbatches (leading dim split; grads averaged; losses
+        averaged per-microbatch, the standard accumulation semantics).
+        Activation memory scales with batch/grad_accum while the optimizer
+        still sees one full-batch update."""
+        grad_fn = jax.value_and_grad(self.task.loss_fn, has_aux=True)
+        accum = max(1, getattr(self.config, "grad_accum", 1))
+        if accum == 1:
+            (loss, (new_model_state, metrics)), grads = grad_fn(
+                state.params, state.model_state, batch, rng, True
+            )
+            metrics = dict(metrics)
+            metrics.setdefault("loss", loss)
+            return grads, new_model_state, metrics
+
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]), batch
+        )
+
+        def body(carry, xs):
+            model_state, grads_acc = carry
+            mb, idx = xs
+            (loss, (new_ms, metrics)), grads = grad_fn(
+                state.params, model_state, mb, jax.random.fold_in(rng, idx), True
+            )
+            grads_acc = jax.tree_util.tree_map(lambda a, g: a + g, grads_acc, grads)
+            metrics = dict(metrics)
+            metrics.setdefault("loss", loss)
+            return (new_ms, grads_acc), metrics
+
+        import jax.numpy as jnp
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (new_model_state, grads_sum), metrics_stack = jax.lax.scan(
+            body, (state.model_state, zero_grads), (micro, jnp.arange(accum))
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
+        metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), metrics_stack)
+        return grads, new_model_state, metrics
+
     def _step(self, state: TrainState, batch: Any):
         rng = state.step_rng()
-        grad_fn = jax.value_and_grad(self.task.loss_fn, has_aux=True)
-        (loss, (new_model_state, metrics)), grads = grad_fn(
-            state.params, state.model_state, batch, rng, True
-        )
+        grads, new_model_state, metrics = self._grads(state, batch, rng)
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # optional task hook (e.g. BYOL momentum-target EMA) — runs inside the
@@ -97,8 +135,6 @@ class Trainer:
             model_state=new_model_state,
             opt_state=new_opt_state,
         )
-        metrics = dict(metrics)
-        metrics.setdefault("loss", loss)
         return new_state, metrics
 
     def _multi_step(self, state: TrainState, stacked_batches: Any):
