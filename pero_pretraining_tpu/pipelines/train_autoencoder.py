@@ -64,6 +64,8 @@ def parse_arguments():
     parser.add_argument("--project-name", default=None, help="ClearML project (optional).")
     parser.add_argument("--task-name", default=None, help="ClearML task (optional).")
     parser.add_argument("--metrics-log", default=None)
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a device trace of a few steady-state steps to this directory.")
 
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--mesh-data", type=int, default=-1)
@@ -148,7 +150,8 @@ def main():
     state = maybe_resume(trainer, state, training, trn_loader)
     batches = (numeric_batch(b) for b in iter_forever(trn_loader))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
-                steps_per_call=args.steps_per_call)
+                steps_per_call=args.steps_per_call,
+                profile_dir=args.profile_dir)
     if checkpointer is not None:
         checkpointer.close()
     print("Training finished")

@@ -82,6 +82,8 @@ def parse_arguments():
     parser.add_argument("--project-name", default=None, help="ClearML project (optional).")
     parser.add_argument("--task-name", default=None, help="ClearML task (optional).")
     parser.add_argument("--metrics-log", default=None, help="JSONL metrics output path.")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a device trace of a few steady-state steps to this directory.")
 
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--loader-procs", type=int, default=1,
@@ -191,7 +193,8 @@ def main():
 
     batches = (numeric_batch(b) for b in iter_forever(train_stream))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
-                steps_per_call=args.steps_per_call)
+                steps_per_call=args.steps_per_call,
+                profile_dir=args.profile_dir)
     if hasattr(train_stream, "close"):
         train_stream.close()
     if checkpointer is not None:

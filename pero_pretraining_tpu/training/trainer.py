@@ -187,6 +187,9 @@ class Trainer:
         end_iteration: Optional[int] = None,
         view_step: Optional[int] = None,
         steps_per_call: int = 1,
+        profile_dir: Optional[str] = None,
+        profile_start: int = 10,
+        profile_steps: int = 5,
     ) -> TrainState:
         """Iteration-driven loop mirroring the reference's
         (masked_pretraining/trainer.py:19-50): the data iterator is recycled on
@@ -195,7 +198,11 @@ class Trainer:
 
         steps_per_call > 1 fuses that many optimizer steps into one scanned
         device program (train_many) — per-step dispatch overhead is amortized,
-        which matters on remote/tunneled transports."""
+        which matters on remote/tunneled transports.
+
+        profile_dir captures a device trace (TensorBoard/Perfetto) of
+        `profile_steps` steps starting `profile_start` steps in (past the
+        compile + warmup noise); the reference has no tracing (SURVEY.md §5)."""
         start = int(state.step) if start_iteration is None else start_iteration
         end = self.config.end_iteration if end_iteration is None else end_iteration
         view = self.config.view_step if view_step is None else view_step
@@ -216,23 +223,39 @@ class Trainer:
         t0 = time.time()
         count = 0
         metrics = {}
+        trace_at = (start + profile_start) if profile_dir else None
+        trace_until = None
 
         iteration = start
-        while iteration < end:
-            chunk = min(k, end - iteration)
-            if chunk == 1:
-                state, metrics = self.train_step(state, pull())
-            else:
-                state, metrics = self.train_many(state, [pull() for _ in range(chunk)])
-            iteration += chunk
-            count += chunk
+        try:
+            while iteration < end:
+                if trace_at is not None and iteration >= trace_at:
+                    jax.profiler.start_trace(profile_dir)
+                    trace_until = iteration + profile_steps
+                    trace_at = None
+                chunk = min(k, end - iteration)
+                if chunk == 1:
+                    state, metrics = self.train_step(state, pull())
+                else:
+                    state, metrics = self.train_many(state, [pull() for _ in range(chunk)])
+                iteration += chunk
+                count += chunk
 
-            if view and iteration % view == 0 and self.on_view_step is not None:
-                # sync once per view step only
-                metrics = {key: float(v) for key, v in metrics.items()}
-                elapsed = time.time() - t0
-                self.on_view_step(iteration, state, elapsed, count, metrics)
-                t0 = time.time()
-                count = 0
+                if trace_until is not None and iteration >= trace_until:
+                    jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace saved to {profile_dir}")
+                    trace_until = None
+
+                if view and iteration % view == 0 and self.on_view_step is not None:
+                    # sync once per view step only
+                    metrics = {key: float(v) for key, v in metrics.items()}
+                    elapsed = time.time() - t0
+                    self.on_view_step(iteration, state, elapsed, count, metrics)
+                    t0 = time.time()
+                    count = 0
+        finally:
+            if trace_until is not None:  # loop exited mid-trace
+                jax.profiler.stop_trace()
 
         return state

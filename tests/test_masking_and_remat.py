@@ -44,3 +44,32 @@ def test_remat_matches_non_remat(rng):
     g2 = jax.grad(lambda v: jnp.sum(m2.apply(v, x, train=False) ** 2))(variables)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_fit_profile_dir_captures_trace(rng, tmp_path):
+    """--profile-dir: fit() writes a Perfetto/TensorBoard trace directory."""
+    import os
+
+    import jax
+    from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
+    from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch
+    from pero_pretraining_tpu.parallel.mesh import create_mesh
+    from pero_pretraining_tpu.pipelines.masked import MaskedTask
+    from pero_pretraining_tpu.training.tester import numeric_batch
+    from pero_pretraining_tpu.training.trainer import Trainer
+
+    task = MaskedTask(
+        BackboneConfig(type="vit", model_dim=32, num_heads=2, num_blocks=1, feedforward_dim=64, max_len=64),
+        HeadConfig(in_features=32, out_features=16),
+        TrainingConfig(seed=0, view_step=0),
+    )
+    batch = numeric_batch(synthetic_masked_batch(rng, batch_size=2, width=128, num_labels=16))
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer = Trainer(task, task.training_config, mesh=mesh)
+    state = trainer.init_state(batch)
+
+    trace_dir = str(tmp_path / "trace")
+    trainer.fit(state, iter(lambda: batch, None), start_iteration=0, end_iteration=6,
+                view_step=0, profile_dir=trace_dir, profile_start=2, profile_steps=2)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
+    assert files, "no trace files written"
