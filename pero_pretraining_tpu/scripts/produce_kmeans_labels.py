@@ -30,6 +30,8 @@ def parse_arguments():
     parser.add_argument("--lmdb-path", required=True)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--max-line-width", type=int, default=2048)
+    parser.add_argument("--precision", choices=("parity", "fast"), default="parity",
+                        help="parity: fp32 matmuls, bit-comparable targets across backends (BASELINE.md). fast: bf16 MXU matmuls, several-x faster; assignments may differ on near-ties.")
     parser.add_argument("--output", required=True)
     parser.add_argument("--skip", type=int, default=0)
     return parser.parse_args()
@@ -78,8 +80,15 @@ def main():
     return 0
 
 
+def _run():
+    import sys
+
+    fast = "--precision" in sys.argv and sys.argv[sys.argv.index("--precision") + 1] == "fast"
+    # offline targets must stay bit-comparable across backends (BASELINE.md)
+    # unless --precision fast trades that for bf16 MXU throughput
+    with jax.default_matmul_precision("default" if fast else "highest"):
+        return main()
+
+
 if __name__ == "__main__":
-    # offline targets must be bit-comparable across backends (BASELINE.md):
-    # force fp32 MXU matmuls for the frozen encoders and assignments
-    with jax.default_matmul_precision("highest"):
-        raise SystemExit(main())
+    raise SystemExit(_run())

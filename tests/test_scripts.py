@@ -230,3 +230,28 @@ def test_ngram_tools(tmp_path, rng, monkeypatch):
         monkeypatch,
     )
     assert os.path.exists(collage_path)
+
+
+def test_produce_labels_precision_fast(corpus, tmp_path, monkeypatch):
+    """--precision fast runs through _run (bf16 matmuls) and yields labels in
+    range; on CPU both precisions should agree exactly."""
+    import sys
+
+    from pero_pretraining_tpu.scripts.produce_kmeans_labels import _run as run_labels
+
+    store_path, lines_path = corpus
+    rng = np.random.RandomState(0)
+    kmeans_path = str(tmp_path / "centroids.npy")
+    np.save(kmeans_path, rng.randn(16, 32).astype(np.float32))  # 32 = AE_DEF feature dim
+
+    outputs = {}
+    for precision in ("parity", "fast"):
+        out = str(tmp_path / f"labels_{precision}.trn")
+        argv = ["pkl", "--model-definition", AE_DEF, "--kmeans-path", kmeans_path,
+                "--lines-path", lines_path, "--lmdb-path", store_path,
+                "--batch-size", "4", "--max-line-width", "320",
+                "--precision", precision, "--output", out]
+        monkeypatch.setattr(sys, "argv", argv)
+        assert run_labels() == 0
+        outputs[precision] = open(out).read()
+    assert outputs["parity"] == outputs["fast"]  # CPU backend: same math
