@@ -115,12 +115,29 @@ class MultiProcessLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch's worth of batches (persistent workers keep streaming
         across calls, so iter_forever costs no respawns)."""
+        import queue as queue_mod
+
         self._ensure_workers()
         per_epoch = len(self)
         end = (self._next_global // per_epoch + 1) * per_epoch
         while self._next_global < end:
             g = self._next_global
-            msg = self._queues[g % self.num_procs].get()
+            rank = g % self.num_procs
+            # Poll with liveness checks so a worker that died BETWEEN batch
+            # writes (crash, OOM-kill) raises here instead of hanging. Caveat
+            # (shared with torch's DataLoader): a worker killed MID-write
+            # leaves a truncated pickle in the pipe, which no reader-side
+            # timeout can recover — that case needs a supervisor restart.
+            # Worker-side exceptions don't kill workers at all; they arrive
+            # as ("error", rank, exc) messages and re-raise below.
+            while True:
+                try:
+                    msg = self._queues[rank].get(timeout=5.0)
+                    break
+                except queue_mod.Empty:
+                    if not self._procs[rank].is_alive():
+                        self.close()
+                        raise RuntimeError(f"loader process {rank} died (batch {g})")
             if msg[0] == "error":
                 self.close()
                 raise msg[2]

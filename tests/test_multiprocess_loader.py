@@ -85,3 +85,20 @@ def test_multiprocess_rejects_late_skip(corpus):
             mp_loader.skip_to(0)
     finally:
         mp_loader.close()
+
+
+def test_multiprocess_worker_error_propagates(corpus):
+    """A worker that crashes while building batches surfaces its exception in
+    the parent instead of hanging. (A worker KILLED mid-pipe-write leaves a
+    truncated pickle no reader can recover — documented caveat, same as
+    torch's DataLoader; clean deaths are caught by the liveness poll.)"""
+    import copy
+
+    broken = copy.deepcopy(corpus)
+    broken["data_config"]["lmdb_path"] = broken["data_config"]["lmdb_path"] + ".missing"
+    mp_loader = MultiProcessLoader(broken, num_procs=2)
+    try:
+        with pytest.raises(Exception):
+            next(iter(mp_loader))
+    finally:
+        mp_loader.close()

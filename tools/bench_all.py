@@ -92,6 +92,38 @@ def main():
         Trainer(task, t, mesh=mesh), paired_batches(batch_size=16, width=1024), mesh, name="vicreg_vit_b16_w1024"
     )
 
+    # joint embedding (NT-Xent, linear head — reference's other loss family)
+    task = JointEmbeddingTask(
+        BackboneConfig(type="vit"), HeadConfig(out_features=4096), t, loss_type="ntxent"
+    )
+    results["ntxent_vit_b16_w1024"] = measure(
+        Trainer(task, t, mesh=mesh), paired_batches(batch_size=16, width=1024), mesh, name="ntxent_vit_b16_w1024"
+    )
+
+    # CTC fine-tuning (the downstream transfer step)
+    from pero_pretraining_tpu.data.batching import BatchCreator, CTCBatchCreator
+    from pero_pretraining_tpu.pipelines.ctc import CTCTask
+    from pero_pretraining_tpu.utils.text import Charset
+
+    charset = Charset([chr(ord("a") + i) for i in range(26)])
+    creator = CTCBatchCreator(charset, BatchCreator(pad_to=2048, seed=0), max_label_len=256)
+
+    def ctc_batches(batch_size=16, width=2048, chars_per_line=64):
+        out_batches = []
+        for _ in range(4):
+            items = []
+            for _ in range(batch_size):
+                text = "".join(rng.choice(charset.chars, size=chars_per_line))
+                image = rng.randint(0, 256, size=(40, 8 * 2 * chars_per_line, 3)).astype(np.uint8)
+                items.append({"image": image, "image2": None, "labels": None, "text": text, "image_id": text[:8]})
+            out_batches.append(numeric_batch(creator.create_batch(items)))
+        return out_batches
+
+    ctc_task = CTCTask(BackboneConfig(type="vit"), charset, t)
+    results["ctc_finetune_vit_b16_w2048"] = measure(
+        Trainer(ctc_task, t, mesh=mesh), ctc_batches(), mesh, name="ctc_finetune_vit_b16_w2048"
+    )
+
     out = {k: round(v, 1) for k, v in results.items()}
     docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs")
     os.makedirs(docs, exist_ok=True)
