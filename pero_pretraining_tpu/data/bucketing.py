@@ -21,6 +21,7 @@ from typing import Callable, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from pero_pretraining_tpu.data.batching import BatchCreator
+from pero_pretraining_tpu.data.loader import _PlanIteration
 
 
 def bucket_for(width_px: int, buckets: Sequence[int]) -> int:
@@ -31,9 +32,12 @@ def bucket_for(width_px: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-class BucketedDataLoader:
+class BucketedDataLoader(_PlanIteration):
     """Groups dataset indices into width buckets; yields fixed-shape batches
-    per bucket with the batch order shuffled across buckets."""
+    per bucket with the batch order shuffled across buckets. Shares the
+    plan()/build_batch()/stream() contract with DataLoader (see loader.py),
+    so the training stream is deterministic in (seed, start_batch) and the
+    multi-process sharded loader works over buckets too."""
 
     def __init__(
         self,
@@ -56,8 +60,8 @@ class BucketedDataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.subsampling_factor = subsampling_factor
+        self.prefetch_batches = 2
         self._epoch = 0
-        self._start_batch = 0
 
         kwargs = dict(creator_kwargs or {})
         kwargs.pop("pad_to", None)
@@ -103,24 +107,12 @@ class BucketedDataLoader:
                 total += -(-len(indices) // self.batch_size)
         return total
 
-    def skip_to(self, global_batch: int) -> None:
-        """Data-order resume: see DataLoader.skip_to. The per-epoch plan list
-        is deterministic given (seed, epoch), so skipping its prefix restores
-        the exact bucket/batch order of an uninterrupted run."""
-        per_epoch = len(self)
-        if per_epoch <= 0:
-            return
-        self._epoch = global_batch // per_epoch
-        self._start_batch = global_batch % per_epoch
-
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        from concurrent.futures import ThreadPoolExecutor
-
-        rng = np.random.RandomState(self.seed + self._epoch)
-        self._epoch += 1
-        first_batch, self._start_batch = self._start_batch, 0
-
-        plans: List[tuple] = []  # (bucket, index array)
+    def plan(self, epoch: int) -> List[tuple]:
+        """Deterministic (bucket, index-array) plan for `epoch` — a pure
+        function of (seed, epoch); per-bucket shuffles and the cross-bucket
+        batch order both derive from one epoch-seeded RNG."""
+        rng = np.random.RandomState(self.seed + epoch)
+        plans: List[tuple] = []
         for bucket, indices in self._assignments.items():
             indices = np.asarray(indices)
             if self.shuffle:
@@ -133,16 +125,17 @@ class BucketedDataLoader:
                 plans.append((bucket, indices[-rem:]))
         if self.shuffle:
             rng.shuffle(plans)
+        return plans
 
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for bucket, batch_idx in plans[first_batch:]:
-                items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                # clip oversized lines to their bucket (largest bucket only)
-                for item in items:
-                    if item["image"].shape[1] > bucket:
-                        item["image"] = item["image"][:, :bucket]
-                        if item.get("labels") is not None:
-                            item["labels"] = list(item["labels"])[: bucket // self.subsampling_factor]
-                        if item.get("image2") is not None:
-                            item["image2"] = item["image2"][:, :bucket]
-                yield self.creators[bucket].create_batch(items)
+    def build_batch(self, entry: tuple, pool) -> Dict[str, np.ndarray]:
+        bucket, batch_idx = entry
+        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+        # clip oversized lines to their bucket (largest bucket only)
+        for item in items:
+            if item["image"].shape[1] > bucket:
+                item["image"] = item["image"][:, :bucket]
+                if item.get("labels") is not None:
+                    item["labels"] = list(item["labels"])[: bucket // self.subsampling_factor]
+                if item.get("image2") is not None:
+                    item["image2"] = item["image2"][:, :bucket]
+        return self.creators[bucket].create_batch(items)

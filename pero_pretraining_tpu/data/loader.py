@@ -6,6 +6,23 @@ fork/pickle overhead) with a bounded in-flight window; batches are assembled
 in order and prefetched through a small queue so the host pipeline stays
 ahead of the device.
 
+Two iteration surfaces with different determinism contracts:
+- `__iter__`: one epoch per call with a per-loader scratch epoch counter —
+  for evaluation consumers (Tester, Visualizer) where cross-run determinism
+  of the shuffle does not matter.
+- `stream(start_batch)`: THE training stream — an infinite batch sequence
+  that is a pure function of (seed, start_batch), built from `plan(epoch)`.
+  Other consumers iterating the same loader cannot perturb it, so a resumed
+  `stream(N)` yields exactly the batches an uninterrupted `stream(0)` would
+  have yielded from position N (the reference restarts data order from
+  scratch on resume — SURVEY.md §5). Collation randomness (left paddings)
+  is reseeded on resume, mirroring the reference's unsaved host RNG.
+
+`plan(epoch)` + `build_batch(entry, pool)` are the primitive contract shared
+with BucketedDataLoader and the multi-process sharded loader
+(data/multiprocess.py), which reassembles the same plan order across worker
+processes.
+
 `device_prefetch` additionally double-buffers device_put so the H2D transfer
 of batch i+1 overlaps the computation of batch i.
 """
@@ -15,96 +32,33 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, Iterable, Iterator, Optional
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
 
 from pero_pretraining_tpu.data.batching import BatchCreator
 
 
-class DataLoader:
-    def __init__(
-        self,
-        dataset,
-        batch_creator: Optional[BatchCreator] = None,
-        batch_size: int = 16,
-        shuffle: bool = False,
-        num_workers: int = 4,
-        drop_last: bool = True,
-        seed: int = 0,
-        prefetch_batches: int = 2,
-    ):
-        self.dataset = dataset
-        self.batch_creator = batch_creator if batch_creator is not None else BatchCreator()
-        self.batch_size = batch_size
-        self.shuffle = shuffle
-        self.num_workers = max(num_workers, 1)
-        self.drop_last = drop_last
-        self.seed = seed
-        self.prefetch_batches = prefetch_batches
-        self._epoch = 0
-        self._start_batch = 0
+class _PlanIteration:
+    """Shared iteration machinery over a (plan, build_batch) contract.
 
-    def name(self) -> str:
-        return self.dataset.name() if hasattr(self.dataset, "name") else type(self.dataset).__name__
+    Subclasses provide: plan(epoch) -> list of entries,
+    build_batch(entry, pool) -> batch dict, and the attributes
+    num_workers / prefetch_batches / _epoch."""
 
-    def skip_to(self, global_batch: int) -> None:
-        """Restore data order for resume: position the loader as if
-        `global_batch` batches had already been consumed. Shuffles are
-        deterministic per (seed, epoch), so order matches an uninterrupted
-        run exactly; the reference restarts data order from scratch on resume
-        (SURVEY.md §5 checkpoint notes). Collation randomness (left paddings)
-        is reseeded, mirroring the reference's unsaved host RNG."""
-        per_epoch = len(self)
-        if per_epoch <= 0:
-            return
-        self._epoch = global_batch // per_epoch
-        self._start_batch = global_batch % per_epoch
-
-    def __len__(self) -> int:
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-
-    def _indices(self) -> np.ndarray:
-        indices = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.RandomState(self.seed + self._epoch).shuffle(indices)
-        return indices
-
-    def plan(self, epoch: int) -> list:
-        """Deterministic batch plan for `epoch`: list of dataset-index arrays,
-        one per batch, in yield order. This is the loader's data order as a
-        pure function of (seed, epoch) — the contract behind skip_to resume
-        and multi-process sharding (data/multiprocess.py)."""
-        indices = np.arange(len(self.dataset))
-        if self.shuffle:
-            np.random.RandomState(self.seed + epoch).shuffle(indices)
-        n_batches = len(indices) // self.batch_size
-        plans = [indices[b * self.batch_size : (b + 1) * self.batch_size] for b in range(n_batches)]
-        if not self.drop_last and len(indices) % self.batch_size:
-            plans.append(indices[n_batches * self.batch_size :])
-        return plans
-
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        indices = self._indices()
-        self._epoch += 1
-        first_batch, self._start_batch = self._start_batch, 0
-        n_batches = len(indices) // self.batch_size
-        if not self.drop_last and len(indices) % self.batch_size:
-            n_batches += 1
-
+    def _produce(self, entries: Iterable[Any]) -> Iterator[Dict[str, np.ndarray]]:
+        """Threaded prefetch: decode/collate `entries` in a producer thread,
+        yield finished batches in order."""
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(first_batch, n_batches):
+                    for entry in entries:
                         if stop.is_set():
                             return
-                        batch_idx = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_queue.put(("batch", self.batch_creator.create_batch(items)))
+                        out_queue.put(("batch", self.build_batch(entry, pool)))
                 out_queue.put(("done", None))
             except BaseException as e:  # propagate worker errors to the consumer
                 out_queue.put(("error", e))
@@ -128,6 +82,78 @@ class DataLoader:
                     out_queue.get_nowait()
                 except queue.Empty:
                     break
+
+    def _entries_forever(self, start_batch: int) -> Iterator[Any]:
+        per_epoch = len(self)
+        if per_epoch <= 0:
+            return
+        g = start_batch
+        plan_epoch, plan = -1, None
+        while True:
+            epoch = g // per_epoch
+            if epoch != plan_epoch:
+                plan_epoch, plan = epoch, self.plan(epoch)
+            yield plan[g % per_epoch]
+            g += 1
+
+    def stream(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite training stream, a pure function of (seed, start_batch):
+        epochs 0, 1, 2, ... of plan() order regardless of what other
+        consumers do with this loader. Resume = stream(consumed_batches)."""
+        return self._produce(self._entries_forever(start_batch))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """One evaluation pass; each call shuffles with the next scratch
+        epoch (does not affect stream())."""
+        epoch = self._epoch
+        self._epoch += 1
+        return self._produce(self.plan(epoch))
+
+
+class DataLoader(_PlanIteration):
+    def __init__(
+        self,
+        dataset,
+        batch_creator: Optional[BatchCreator] = None,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_creator = batch_creator if batch_creator is not None else BatchCreator()
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+
+    def name(self) -> str:
+        return self.dataset.name() if hasattr(self.dataset, "name") else type(self.dataset).__name__
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def plan(self, epoch: int) -> List[np.ndarray]:
+        """Deterministic batch plan for `epoch`: list of dataset-index arrays,
+        one per batch, in yield order — a pure function of (seed, epoch)."""
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(indices)
+        n_batches = len(indices) // self.batch_size
+        plans = [indices[b * self.batch_size : (b + 1) * self.batch_size] for b in range(n_batches)]
+        if not self.drop_last and len(indices) % self.batch_size:
+            plans.append(indices[n_batches * self.batch_size :])
+        return plans
+
+    def build_batch(self, entry: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
+        items = list(pool.map(self.dataset.__getitem__, entry))
+        return self.batch_creator.create_batch(items)
 
 
 def device_prefetch(batches: Iterable[Any], put: Callable[[Any], Any], depth: int = 2) -> Iterator[Any]:

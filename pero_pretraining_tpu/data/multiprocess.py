@@ -26,15 +26,14 @@ import numpy as np
 
 
 def build_loader_from_spec(spec: Dict[str, Any]):
-    """Construct the train DataLoader described by `spec` (runs in workers
-    and in the parent for metadata). Spec keys: data_config (DataConfig
-    field dict), pair_images (bool)."""
+    """Construct the TRAIN loader described by `spec` (runs in workers and in
+    the parent for metadata; the test dataset is never touched). Spec keys:
+    data_config (DataConfig field dict), pair_images (bool)."""
     from pero_pretraining_tpu.configs import DataConfig
-    from pero_pretraining_tpu.pipelines.cli_common import build_loaders
+    from pero_pretraining_tpu.pipelines.cli_common import build_train_loader
 
     data_config = DataConfig(**spec["data_config"])
-    trn_loader, _ = build_loaders(data_config, pair_images=spec.get("pair_images", False))
-    return trn_loader
+    return build_train_loader(data_config, pair_images=spec.get("pair_images", False))
 
 
 def spec_from_data_config(data_config, pair_images: bool = False) -> Dict[str, Any]:
@@ -48,8 +47,7 @@ def _worker(spec, rank, world, start_batch, out_queue, stop_event):
         loader = build_loader_from_spec(spec)
         per_epoch = len(loader)
         if per_epoch <= 0:
-            out_queue.put(("done", None))
-            return
+            return  # parent's __iter__ yields nothing for empty loaders
         g = start_batch + ((rank - start_batch) % world)  # first g >= start with g % world == rank
         plan_epoch, plan = -1, None
         from concurrent.futures import ThreadPoolExecutor
@@ -59,9 +57,9 @@ def _worker(spec, rank, world, start_batch, out_queue, stop_event):
                 epoch = g // per_epoch
                 if epoch != plan_epoch:
                     plan_epoch, plan = epoch, loader.plan(epoch)
-                batch_idx = plan[g % per_epoch]
-                items = list(pool.map(loader.dataset.__getitem__, batch_idx))
-                out_queue.put(("batch", g, loader.batch_creator.create_batch(items)))
+                # plan()/build_batch() is the loader contract (loader.py), so
+                # plain and bucketed loaders shard identically
+                out_queue.put(("batch", g, loader.build_batch(plan[g % per_epoch], pool)))
                 g += world
     except BaseException as e:  # surface worker crashes in the parent
         out_queue.put(("error", rank, e))
@@ -117,8 +115,10 @@ class MultiProcessLoader:
         across calls, so iter_forever costs no respawns)."""
         import queue as queue_mod
 
-        self._ensure_workers()
         per_epoch = len(self)
+        if per_epoch <= 0:
+            return
+        self._ensure_workers()
         end = (self._next_global // per_epoch + 1) * per_epoch
         while self._next_global < end:
             g = self._next_global
@@ -144,6 +144,18 @@ class MultiProcessLoader:
             assert msg[1] == g, f"out-of-order batch: expected {g}, got {msg[1]}"
             self._next_global += 1
             yield msg[2]
+
+    def stream(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite train stream from global batch `start_batch` — the same
+        (seed, start_batch)-pure order as the wrapped loader's stream()."""
+        self.skip_to(start_batch)
+        while True:
+            empty = True
+            for batch in self:
+                empty = False
+                yield batch
+            if empty:
+                return
 
     def close(self) -> None:
         if self._stop is not None:

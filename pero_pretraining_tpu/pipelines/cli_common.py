@@ -74,10 +74,7 @@ def build_dataset(
     )
 
 
-def build_loaders(data_config: DataConfig, pair_images: bool = False):
-    trn_dataset = build_dataset(data_config.trn_path, data_config, data_config.augmentations, pair_images)
-    tst_dataset = build_dataset(data_config.tst_path, data_config, None, pair_images)
-
+def _make_loader(dataset, data_config: DataConfig, shuffle: bool, seed: int):
     if data_config.buckets:
         from pero_pretraining_tpu.data.bucketing import BucketedDataLoader
 
@@ -85,36 +82,38 @@ def build_loaders(data_config: DataConfig, pair_images: bool = False):
             same_left_paddings=data_config.same_left_paddings,
             left_align=data_config.left_align,
         )
-        trn_loader = BucketedDataLoader(
-            trn_dataset, buckets=data_config.buckets, batch_size=data_config.batch_size,
-            shuffle=data_config.shuffle, num_workers=data_config.num_workers, seed=data_config.seed,
+        return BucketedDataLoader(
+            dataset, buckets=data_config.buckets, batch_size=data_config.batch_size,
+            shuffle=shuffle, num_workers=data_config.num_workers, seed=seed,
             subsampling_factor=data_config.subsampling_factor, creator_kwargs=kwargs,
         )
-        tst_loader = BucketedDataLoader(
-            tst_dataset, buckets=data_config.buckets, batch_size=data_config.batch_size,
-            shuffle=False, num_workers=data_config.num_workers,
-            subsampling_factor=data_config.subsampling_factor, creator_kwargs=kwargs,
-        )
-        return trn_loader, tst_loader
-
     creator = BatchCreator(
         pad_to=data_config.max_width,
         subsampling_factor=data_config.subsampling_factor,
         crop_width=data_config.crop_width,
         crop_step=data_config.crop_step,
         same_left_paddings=data_config.same_left_paddings,
-        seed=data_config.seed,
+        seed=seed,
         left_align=data_config.left_align,
     )
-    trn_loader = DataLoader(
-        trn_dataset, creator, batch_size=data_config.batch_size, shuffle=data_config.shuffle,
+    return DataLoader(
+        dataset, creator, batch_size=data_config.batch_size, shuffle=shuffle,
         num_workers=data_config.num_workers, prefetch_batches=data_config.prefetch,
-        seed=data_config.seed,
+        seed=seed,
     )
-    tst_loader = DataLoader(
-        tst_dataset, creator, batch_size=data_config.batch_size, shuffle=False,
-        num_workers=data_config.num_workers, prefetch_batches=data_config.prefetch,
-    )
+
+
+def build_train_loader(data_config: DataConfig, pair_images: bool = False):
+    """Train loader only (used by the multi-process sharded loader's workers,
+    which must never pay for constructing the test dataset)."""
+    trn_dataset = build_dataset(data_config.trn_path, data_config, data_config.augmentations, pair_images)
+    return _make_loader(trn_dataset, data_config, shuffle=data_config.shuffle, seed=data_config.seed)
+
+
+def build_loaders(data_config: DataConfig, pair_images: bool = False):
+    trn_loader = build_train_loader(data_config, pair_images)
+    tst_dataset = build_dataset(data_config.tst_path, data_config, None, pair_images)
+    tst_loader = _make_loader(tst_dataset, data_config, shuffle=False, seed=0)
     return trn_loader, tst_loader
 
 
@@ -192,17 +191,15 @@ def resolve_start_iteration(start_iteration: int, checkpoints_dir: Optional[str]
     return iteration
 
 
-def maybe_resume(trainer, state, training_config: TrainingConfig, train_loader=None):
+def maybe_resume(trainer, state, training_config: TrainingConfig):
     """Resume = load the checkpoint at --start-iteration (reference:
-    train.py:243-251), but restoring the FULL train state — and, when the
-    train loader is given, the exact data order (one batch per iteration, so
-    the loader fast-forwards to batch --start-iteration; the reference
-    restarts data order from scratch on resume, SURVEY.md §5)."""
+    train.py:243-251), but restoring the FULL train state. Data order is
+    restored separately: the CLIs feed training from
+    `loader.stream(start_iteration)`, which is a pure function of
+    (seed, start) — the reference restarts data order from scratch on
+    resume (SURVEY.md §5)."""
     if training_config.start_iteration > 0 and training_config.checkpoints_dir:
         path = get_checkpoint_path(training_config.checkpoints_dir, training_config.start_iteration)
         state = load_checkpoint(state, path)
         print(f"Resumed from {path} at step {int(state.step)}")
-        if train_loader is not None and hasattr(train_loader, "skip_to"):
-            train_loader.skip_to(training_config.start_iteration)
-            print(f"Data order restored: epoch {train_loader._epoch}, batch {train_loader._start_batch}")
     return state

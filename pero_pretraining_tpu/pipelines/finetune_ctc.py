@@ -21,7 +21,6 @@ from pero_pretraining_tpu.data.loader import DataLoader
 from pero_pretraining_tpu.parallel.mesh import create_mesh
 from pero_pretraining_tpu.pipelines.cli_common import init_directories, maybe_resume
 from pero_pretraining_tpu.pipelines.ctc import CTCTask, CTCTester
-from pero_pretraining_tpu.pipelines.train_masked import iter_forever
 from pero_pretraining_tpu.training.checkpoint import get_checkpoint_path
 from pero_pretraining_tpu.training.tester import numeric_batch
 from pero_pretraining_tpu.training.trainer import Trainer
@@ -183,8 +182,8 @@ def main():
     else:
         state = trainer.init_state(sample)
 
-    state = maybe_resume(trainer, state, training, trn_loader)
-    batches = (numeric_batch(b) for b in iter_forever(trn_loader))
+    state = maybe_resume(trainer, state, training)
+    batches = (numeric_batch(b) for b in trn_loader.stream(args.start_iteration))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration)
     if checkpointer is not None:
         checkpointer.close()

@@ -24,7 +24,6 @@ from pero_pretraining_tpu.pipelines.cli_common import (
     make_view_step_handler,
     maybe_resume,
 )
-from pero_pretraining_tpu.pipelines.train_masked import iter_forever
 from pero_pretraining_tpu.pipelines.visualizers import AutoencoderVisualizer
 from pero_pretraining_tpu.training.tester import Tester, numeric_batch
 from pero_pretraining_tpu.training.trainer import Trainer
@@ -147,8 +146,8 @@ def main():
     )
 
     state = trainer.init_state(next(iter(trn_loader)))
-    state = maybe_resume(trainer, state, training, trn_loader)
-    batches = (numeric_batch(b) for b in iter_forever(trn_loader))
+    state = maybe_resume(trainer, state, training)
+    batches = (numeric_batch(b) for b in trn_loader.stream(args.start_iteration))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call,
                 profile_dir=args.profile_dir)

@@ -188,10 +188,12 @@ def main():
         print(f"Loader processes: {args.loader_procs}")
 
     state = trainer.init_state(next(iter(trn_loader)))
-    state = maybe_resume(trainer, state, training, train_stream)
+    state = maybe_resume(trainer, state, training)
     from pero_pretraining_tpu.training.tester import numeric_batch
 
-    batches = (numeric_batch(b) for b in iter_forever(train_stream))
+    # stream() is (seed, start)-pure: resumed runs see the exact batch
+    # sequence an uninterrupted run would have from this iteration
+    batches = (numeric_batch(b) for b in train_stream.stream(args.start_iteration))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call,
                 profile_dir=args.profile_dir)

@@ -48,6 +48,13 @@ def compute_features(encode, loader) -> np.ndarray:
 
 def main():
     args = parse_arguments()
+    # offline targets must stay bit-comparable across backends (BASELINE.md)
+    # unless --precision fast trades that for bf16 MXU throughput
+    with jax.default_matmul_precision("default" if args.precision == "fast" else "highest"):
+        return _main(args)
+
+
+def _main(args):
 
     encode = init_feature_model(args.model_definition, args.checkpoint_path)
     print("Model loaded")
@@ -65,15 +72,5 @@ def main():
     return 0
 
 
-def _run():
-    import sys
-
-    fast = "--precision" in sys.argv and sys.argv[sys.argv.index("--precision") + 1] == "fast"
-    # offline targets must stay bit-comparable across backends (BASELINE.md)
-    # unless --precision fast trades that for bf16 MXU throughput
-    with jax.default_matmul_precision("default" if fast else "highest"):
-        return main()
-
-
 if __name__ == "__main__":
-    raise SystemExit(_run())
+    raise SystemExit(main())

@@ -63,6 +63,13 @@ def produce_labels(encode, loader, centroids: jax.Array, output_path: str) -> in
 
 def main():
     args = parse_arguments()
+    # offline targets must stay bit-comparable across backends (BASELINE.md)
+    # unless --precision fast trades that for bf16 MXU throughput
+    with jax.default_matmul_precision("default" if args.precision == "fast" else "highest"):
+        return _main(args)
+
+
+def _main(args):
     start = time.time()
 
     encode = init_feature_model(args.model_definition, args.checkpoint_path)
@@ -80,15 +87,5 @@ def main():
     return 0
 
 
-def _run():
-    import sys
-
-    fast = "--precision" in sys.argv and sys.argv[sys.argv.index("--precision") + 1] == "fast"
-    # offline targets must stay bit-comparable across backends (BASELINE.md)
-    # unless --precision fast trades that for bf16 MXU throughput
-    with jax.default_matmul_precision("default" if fast else "highest"):
-        return main()
-
-
 if __name__ == "__main__":
-    raise SystemExit(_run())
+    raise SystemExit(main())

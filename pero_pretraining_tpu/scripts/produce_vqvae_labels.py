@@ -53,6 +53,13 @@ def compute_labels(model, variables, loader):
 
 def main():
     args = parse_arguments()
+    # offline targets must stay bit-comparable across backends (BASELINE.md)
+    # unless --precision fast trades that for bf16 MXU throughput
+    with jax.default_matmul_precision("default" if args.precision == "fast" else "highest"):
+        return _main(args)
+
+
+def _main(args):
 
     config = AutoencoderConfig.from_definition(json.loads(args.model))
     model = build_autoencoder(config)
@@ -71,15 +78,5 @@ def main():
     return 0
 
 
-def _run():
-    import sys
-
-    fast = "--precision" in sys.argv and sys.argv[sys.argv.index("--precision") + 1] == "fast"
-    # offline targets must stay bit-comparable across backends (BASELINE.md)
-    # unless --precision fast trades that for bf16 MXU throughput
-    with jax.default_matmul_precision("default" if fast else "highest"):
-        return main()
-
-
 if __name__ == "__main__":
-    raise SystemExit(_run())
+    raise SystemExit(main())

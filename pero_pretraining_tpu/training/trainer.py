@@ -95,6 +95,9 @@ class Trainer:
             metrics.setdefault("loss", loss)
             return grads, new_model_state, metrics
 
+        leading = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if leading % accum:
+            raise ValueError(f"grad_accum={accum} must divide the batch size {leading}")
         micro = jax.tree_util.tree_map(
             lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]), batch
         )

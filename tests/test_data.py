@@ -228,32 +228,38 @@ def test_dataloader_propagates_errors(image_store):
         list(loader)
 
 
-def test_dataloader_skip_to_restores_order(image_store):
-    """Data-order resume: skip_to(k) must reproduce batches k.. of an
-    uninterrupted multi-epoch run (ids compared; shuffles are per-epoch)."""
+def _take(iterator, n):
+    out = []
+    for batch in iterator:
+        out.append(list(batch["ids"]))
+        if len(out) == n:
+            break
+    return out
+
+
+def test_dataloader_stream_resume_restores_order(image_store):
+    """Data-order resume: stream(k) must reproduce batches k.. of an
+    uninterrupted stream(0) — even when OTHER consumers (testers,
+    visualizers, the init_state peek) iterate the same loader in between."""
     store_path, lines_path, _ = image_store
 
     def make_loader():
         ds = LinesDataset(store_path, lines_path, max_width=512)
         return DataLoader(ds, BatchCreator(pad_to=512, seed=0), batch_size=4, shuffle=True, num_workers=2, seed=7)
 
-    reference_ids = []
     loader = make_loader()
-    for _ in range(3):  # 3 epochs x 3 batches
-        for batch in loader:
-            reference_ids.append(list(batch["ids"]))
+    next(iter(loader))  # the init_state peek an uninterrupted CLI run does
+    reference_ids = _take(loader.stream(0), 9)  # 3 epochs x 3 batches
 
     for k in (0, 2, 4, 7):
         resumed = make_loader()
-        resumed.skip_to(k)
-        got = []
-        while len(got) < len(reference_ids) - k:
-            for batch in resumed:
-                got.append(list(batch["ids"]))
-        assert got[: len(reference_ids) - k] == reference_ids[k:], f"mismatch at k={k}"
+        next(iter(resumed))  # eval consumers must not perturb the stream
+        list(resumed)
+        got = _take(resumed.stream(k), 9 - k)
+        assert got == reference_ids[k:], f"mismatch at k={k}"
 
 
-def test_bucketed_loader_skip_to_restores_order(image_store):
+def test_bucketed_loader_stream_resume_restores_order(image_store):
     from pero_pretraining_tpu.data.bucketing import BucketedDataLoader
 
     store_path, lines_path, _ = image_store
@@ -263,13 +269,10 @@ def test_bucketed_loader_skip_to_restores_order(image_store):
         return BucketedDataLoader(ds, buckets=(256, 512), batch_size=4, shuffle=True, num_workers=2, seed=3, drop_last=False)
 
     loader = make_loader()
-    reference_ids = [list(b["ids"]) for _ in range(2) for b in loader]
+    per_epoch = len(loader)
+    reference_ids = _take(loader.stream(0), 2 * per_epoch)
 
-    k = len(reference_ids) // 2
+    k = per_epoch
     resumed = make_loader()
-    resumed.skip_to(k)
-    got = []
-    while len(got) < len(reference_ids) - k:
-        for batch in resumed:
-            got.append(list(batch["ids"]))
-    assert got[: len(reference_ids) - k] == reference_ids[k:]
+    got = _take(resumed.stream(k), len(reference_ids) - k)
+    assert got == reference_ids[k:]

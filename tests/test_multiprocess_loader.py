@@ -102,3 +102,25 @@ def test_multiprocess_worker_error_propagates(corpus):
             next(iter(mp_loader))
     finally:
         mp_loader.close()
+
+
+def test_multiprocess_bucketed_matches_stream(corpus):
+    """--loader-procs composes with --buckets: workers shard the bucketed
+    plan and the parent's order equals the single-process stream()."""
+    import copy
+
+    spec = copy.deepcopy(corpus)
+    spec["data_config"]["buckets"] = (256, 512)
+    single = build_loader_from_spec(spec)
+    want = []
+    for batch in single.stream(0):
+        want.append(list(batch["ids"]))
+        if len(want) == 2 * len(single):
+            break
+
+    mp_loader = MultiProcessLoader(spec, num_procs=2)
+    try:
+        got = _epoch_ids(mp_loader, 2)
+    finally:
+        mp_loader.close()
+    assert got == want

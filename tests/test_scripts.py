@@ -233,11 +233,11 @@ def test_ngram_tools(tmp_path, rng, monkeypatch):
 
 
 def test_produce_labels_precision_fast(corpus, tmp_path, monkeypatch):
-    """--precision fast runs through _run (bf16 matmuls) and yields labels in
+    """--precision fast applies the bf16 matmul context and yields labels in
     range; on CPU both precisions should agree exactly."""
     import sys
 
-    from pero_pretraining_tpu.scripts.produce_kmeans_labels import _run as run_labels
+    from pero_pretraining_tpu.scripts.produce_kmeans_labels import main as run_labels
 
     store_path, lines_path = corpus
     rng = np.random.RandomState(0)
