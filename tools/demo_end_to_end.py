@@ -261,6 +261,17 @@ def main():
         result = CTCTester(c_task, c_tst_loader).test(state)
         ctc_results[mode] = result
         print(f"  CTC {mode}: tst loss {result['loss']:.4f}, CER {result['cer']:.4f}")
+
+        if mode == "pretrained":
+            # beam search + char-LM shallow fusion on the same trained model
+            # (the PERO-OCR-production decoder class; greedy above for parity)
+            from pero_pretraining_tpu.utils.lm import CharNgramLM
+
+            lm = CharNgramLM(order=4).fit(c_ds.texts())
+            beam = CTCTester(c_task, c_tst_loader, decoder="beam", beam_width=12, lm=lm, lm_weight=0.4)
+            beam_result = beam.test(state)
+            ctc_results["pretrained_beam_lm"] = beam_result
+            print(f"  CTC pretrained+beam+LM: tst loss {beam_result['loss']:.4f}, CER {beam_result['cer']:.4f}")
     summary["ctc"] = ctc_results
 
     print("6) n-gram collage")
