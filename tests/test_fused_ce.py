@@ -96,3 +96,30 @@ def test_masked_task_fused_ce_matches_default(rng):
     b = jax.tree_util.tree_leaves(states[1].params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5)
+
+
+def test_masked_task_fused_ce_on_mesh(rng):
+    """fused CE must compile and train under (data x model) sharding — the
+    head kernel is sharded on the model axis; the chunk reshape must not
+    break GSPMD propagation."""
+    from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
+    from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch
+    from pero_pretraining_tpu.parallel.mesh import create_mesh
+    from pero_pretraining_tpu.pipelines.masked import MaskedTask
+    from pero_pretraining_tpu.training.tester import numeric_batch
+    from pero_pretraining_tpu.training.trainer import Trainer
+
+    backbone = BackboneConfig(type="vit", model_dim=64, num_heads=2, num_blocks=1, feedforward_dim=128, max_len=64)
+    head = HeadConfig(in_features=64, out_features=128)
+    batch = numeric_batch(synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=128))
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+
+    training = TrainingConfig(seed=0, fused_ce=True)
+    task = MaskedTask(backbone, head, training)
+    trainer = Trainer(task, training, mesh=mesh)
+    state = trainer.init_state(batch)
+    losses = []
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
