@@ -112,7 +112,7 @@ class MultiProcessLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """One epoch's worth of batches (persistent workers keep streaming
-        across calls, so iter_forever costs no respawns)."""
+        across calls, so repeated epochs cost no respawns)."""
         import queue as queue_mod
 
         per_epoch = len(self)

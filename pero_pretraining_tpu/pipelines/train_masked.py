@@ -206,10 +206,5 @@ def main():
     return 0
 
 
-def iter_forever(loader):
-    while True:
-        yield from loader
-
-
 if __name__ == "__main__":
     raise SystemExit(main())
