@@ -126,3 +126,44 @@ def test_train_autoencoder_cli(tiny_corpus, tmp_path, monkeypatch):
         monkeypatch,
     )
     assert os.path.exists(os.path.join(ckpt, "checkpoint_000002.msgpack"))
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        ["--fused-ce", "--grad-accum", "2"],
+        ["--masking-mode", "span", "--device-augment", "--keep-checkpoints", "1"],
+        ["--buckets", "128,256", "--grad-accum", "2"],
+    ],
+    ids=["fused-ce+accum", "span+device-augment+retention", "buckets+accum"],
+)
+def test_train_masked_cli_flag_combinations(tiny_corpus, tmp_path, monkeypatch, extra):
+    """New-feature flags compose: each combination trains end to end."""
+    from pero_pretraining_tpu.pipelines.train_masked import main
+
+    store_path, trn_lines, tst_lines = tiny_corpus
+    ckpt = str(tmp_path / "ckpt")
+    _run_cli(
+        main,
+        [
+            "train_masked",
+            "--trn-labels-file", trn_lines,
+            "--tst-labels-file", tst_lines,
+            "--lmdb-path", store_path,
+            "--batch-size", "8",
+            "--max-line-width", "256",
+            "--end-iteration", "4",
+            "--view-step", "2",
+            "--warmup-iterations", "2",
+            "--backbone", '{"type":"vit","model_dim":64,"num_heads":2,"num_blocks":1,"feedforward_dim":128,"max_len":64,"patch_size":[40,8]}',
+            "--head", '{"in_features":64,"out_features":64}',
+            "--checkpoints", ckpt,
+            "--num-workers", "2",
+        ] + extra,
+        monkeypatch,
+    )
+    ckpts = sorted(os.listdir(ckpt))
+    if "--keep-checkpoints" in extra:
+        assert ckpts == ["checkpoint_000004.msgpack"]  # retention pruned
+    else:
+        assert "checkpoint_000004.msgpack" in ckpts
