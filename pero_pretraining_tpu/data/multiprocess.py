@@ -149,13 +149,10 @@ class MultiProcessLoader:
         """Infinite train stream from global batch `start_batch` — the same
         (seed, start_batch)-pure order as the wrapped loader's stream()."""
         self.skip_to(start_batch)
+        if len(self) <= 0:
+            return
         while True:
-            empty = True
-            for batch in self:
-                empty = False
-                yield batch
-            if empty:
-                return
+            yield from self
 
     def close(self) -> None:
         if self._stop is not None:

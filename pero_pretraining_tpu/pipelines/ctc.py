@@ -115,10 +115,13 @@ class CTCTask:
         return loss, (new_model_state, {"loss": loss})
 
     # Evaluation -------------------------------------------------------------
-    def eval_step(self, params, model_state, batch, rng):
+    def _eval_logits(self, params, model_state, batch, rng):
         images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
         logits, _ = self._apply(params, model_state, images, rng, train=False)
-        loss = self._ctc_loss(logits, batch)
+        return logits, self._ctc_loss(logits, batch)
+
+    def eval_step(self, params, model_state, batch, rng):
+        logits, loss = self._eval_logits(params, model_state, batch, rng)
         # greedy path: argmax per frame; padding frames forced to blank
         path = jnp.argmax(logits.astype(jnp.float32), axis=-1)
         path = jnp.where(jnp.asarray(batch["image_masks"]) == 1, path, BLANK_ID)
@@ -126,9 +129,7 @@ class CTCTask:
 
     def eval_logprobs_step(self, params, model_state, batch, rng):
         """Like eval_step but returns full frame log-posteriors for beam search."""
-        images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
-        logits, _ = self._apply(params, model_state, images, rng, train=False)
-        loss = self._ctc_loss(logits, batch)
+        logits, loss = self._eval_logits(params, model_state, batch, rng)
         return loss, {"log_probs": jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)}
 
     def decode_paths(self, paths: np.ndarray) -> List[str]:

@@ -87,7 +87,9 @@ class MaskedTask:
             images, labels, _ = device_shift_augment(rng, images, jnp.asarray(batch["widths"]), labels)
         return images.astype(jnp.float32) / 255.0, labels
 
-    def _apply(self, params, model_state, images, mask, rng, train: bool):
+    def _apply(self, params, model_state, images, mask, rng, train: bool, method=None):
+        """Apply the full model, or a sub-path via flax's `method` (the
+        fused-CE loss path applies the backbone alone)."""
         variables = {"params": params, **model_state}
         rngs = None
         if train:
@@ -95,30 +97,16 @@ class MaskedTask:
             rngs = {"positions": pos_rng, "dropout": drop_rng}
         mutable = [k for k in model_state.keys()] if train else False
         if train and mutable:
-            logits, new_state = self.model.apply(variables, images, mask, train=True, rngs=rngs, mutable=mutable)
-            return logits, dict(new_state)
-        logits = self.model.apply(variables, images, mask, train=train, rngs=rngs)
-        return logits, model_state
-
-    def _apply_backbone(self, params, model_state, images, mask, rng, train: bool):
-        """Backbone frames only (for the fused head+CE path)."""
-        variables = {"params": params, **model_state}
-        rngs = None
-        if train:
-            pos_rng, drop_rng = jax.random.split(rng)
-            rngs = {"positions": pos_rng, "dropout": drop_rng}
-
-        def run(model, images, mask, train):
-            return model.backbone(images, mask, train=train)
-
-        mutable = [k for k in model_state.keys()] if train else False
-        if train and mutable:
-            frames, new_state = self.model.apply(
-                variables, images, mask, train=True, rngs=rngs, mutable=mutable, method=run
+            out, new_state = self.model.apply(
+                variables, images, mask, train=True, rngs=rngs, mutable=mutable, method=method
             )
-            return frames, dict(new_state)
-        frames = self.model.apply(variables, images, mask, train=train, rngs=rngs, method=run)
-        return frames, model_state
+            return out, dict(new_state)
+        out = self.model.apply(variables, images, mask, train=train, rngs=rngs, method=method)
+        return out, model_state
+
+    @staticmethod
+    def _backbone_only(model, images, mask, train):
+        return model.backbone(images, mask, train=train)
 
     def loss_fn(self, params, model_state, batch, rng, train: bool):
         mask_rng, shift_rng, model_rng = jax.random.split(rng, 3)
@@ -128,7 +116,9 @@ class MaskedTask:
             mask = self._sample_mask(mask_rng, labels)
 
         if self.fused_ce:
-            frames, new_model_state = self._apply_backbone(params, model_state, images, mask, model_rng, train)
+            frames, new_model_state = self._apply(
+                params, model_state, images, mask, model_rng, train, method=self._backbone_only
+            )
             dense = params["head"]["linear"]
             kernel = dense["kernel"].astype(frames.dtype)
             bias = dense["bias"].astype(frames.dtype)

@@ -84,12 +84,9 @@ def main():
     args = parse_arguments()
     print(args)
 
-    from pero_pretraining_tpu.pipelines.cli_common import resolve_start_iteration
+    from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache, resolve_start_iteration
 
     args.start_iteration = resolve_start_iteration(args.start_iteration, args.checkpoints)
-
-    from pero_pretraining_tpu.pipelines.cli_common import enable_compilation_cache
-
     enable_compilation_cache()
 
     from pero_pretraining_tpu.parallel.multihost import initialize_distributed

@@ -25,16 +25,20 @@ def get_visualization_path(visualizations_directory: str, iteration: int, part: 
     return os.path.join(visualizations_directory, f"{part}_{iteration:06d}.png")
 
 
-def save_checkpoint(state: TrainState, path: str) -> str:
-    """Serialize the full train state to one msgpack file (atomic rename)."""
+def _write_state(host_state, path: str) -> str:
+    """msgpack-encode + atomic-rename write of an already-host-resident state."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host_state = jax.device_get(state)
     data = serialization.to_bytes(host_state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
     return path
+
+
+def save_checkpoint(state: TrainState, path: str) -> str:
+    """Serialize the full train state to one msgpack file (atomic rename)."""
+    return _write_state(jax.device_get(state), path)
 
 
 def load_checkpoint(template: TrainState, path: str) -> TrainState:
@@ -44,35 +48,36 @@ def load_checkpoint(template: TrainState, path: str) -> TrainState:
     return serialization.from_bytes(template, data)
 
 
+def _list_checkpoints(checkpoints_directory: str):
+    """Sorted [(iteration, path)] of checkpoint files in the directory."""
+    import re
+
+    found = []
+    if os.path.isdir(checkpoints_directory):
+        for name in os.listdir(checkpoints_directory):
+            m = re.fullmatch(r"checkpoint_(\d+)\.msgpack", name)
+            if m:
+                found.append((int(m.group(1)), os.path.join(checkpoints_directory, name)))
+    return sorted(found)
+
+
 def find_latest_checkpoint(checkpoints_directory: str):
     """(path, iteration) of the highest-numbered checkpoint, or (None, 0).
     Enables `--start-iteration -1` auto-resume after a crash — the failure
     story the reference handles with manual `--skip` offsets (reference:
     common/dataset.py:26; SURVEY.md §5)."""
-    import re
-
-    best_it, best_path = -1, None
-    if os.path.isdir(checkpoints_directory):
-        for name in os.listdir(checkpoints_directory):
-            m = re.fullmatch(r"checkpoint_(\d+)\.msgpack", name)
-            if m and int(m.group(1)) > best_it:
-                best_it = int(m.group(1))
-                best_path = os.path.join(checkpoints_directory, name)
-    return best_path, max(best_it, 0)
+    found = _list_checkpoints(checkpoints_directory)
+    if not found:
+        return None, 0
+    iteration, path = found[-1]
+    return path, iteration
 
 
 def prune_checkpoints(checkpoints_directory: str, keep_last: int) -> None:
     """Delete all but the newest `keep_last` checkpoints (by iteration)."""
-    import re
-
-    if keep_last <= 0 or not os.path.isdir(checkpoints_directory):
+    if keep_last <= 0:
         return
-    found = []
-    for name in os.listdir(checkpoints_directory):
-        m = re.fullmatch(r"checkpoint_(\d+)\.msgpack", name)
-        if m:
-            found.append((int(m.group(1)), os.path.join(checkpoints_directory, name)))
-    for _, path in sorted(found)[:-keep_last]:
+    for _, path in _list_checkpoints(checkpoints_directory)[:-keep_last]:
         try:
             os.remove(path)
         except OSError:
@@ -101,12 +106,7 @@ class AsyncCheckpointer:
         host_state = jax.device_get(state)
 
         def write():
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            data = serialization.to_bytes(host_state)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)
+            _write_state(host_state, path)
             if self.keep_last:
                 prune_checkpoints(os.path.dirname(path) or ".", self.keep_last)
 

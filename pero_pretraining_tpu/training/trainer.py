@@ -24,6 +24,7 @@ import time
 from typing import Any, Callable, Iterable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
@@ -112,8 +113,6 @@ class Trainer:
             metrics = dict(metrics)
             metrics.setdefault("loss", loss)
             return (new_ms, grads_acc), metrics
-
-        import jax.numpy as jnp
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         (new_model_state, grads_sum), metrics_stack = jax.lax.scan(

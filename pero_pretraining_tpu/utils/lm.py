@@ -72,20 +72,7 @@ class CharNgramLM:
 
     def logp(self, context: str, char: str) -> float:
         """log P(char | context) under stupid backoff."""
-        context = context[-(self.order - 1) :] if self.order > 1 else ""
-        backoff_penalty = 0.0
-        while True:
-            bucket = self.counts.get(context)
-            if bucket is not None:
-                count = bucket.get(char, 0)
-                if count > 0:
-                    return backoff_penalty + math.log(count / self.context_totals[context])
-            if not context:
-                # add-one unigram floor over the training vocabulary
-                total = self.context_totals.get("", 0) + len(self.vocab) + 1
-                return backoff_penalty + math.log(1.0 / total)
-            context = context[1:]
-            backoff_penalty += math.log(self.backoff_factor)
+        return float(self.logp_all(context, [char])[0])
 
     def logp_all(self, context: str, chars: Sequence[str]) -> np.ndarray:
         """log P(c | context) for every c in chars, one backoff walk total."""
