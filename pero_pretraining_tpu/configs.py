@@ -177,6 +177,14 @@ class TrainingConfig:
     learning_rate: float = 2e-4
     warmup_iterations: int = 10000
     warmup_polynomial_order: int = 1
+    # LR schedule after warmup: "constant" (reference behavior) or "cosine"
+    # decay to min_lr_fraction * learning_rate at end_iteration
+    schedule: str = "constant"
+    min_lr_fraction: float = 0.0
+    # AdamW decoupled weight decay (0 = plain Adam, the reference optimizer)
+    weight_decay: float = 0.0
+    # global-norm gradient clipping (0 = off)
+    grad_clip: float = 0.0
     start_iteration: int = 0
     end_iteration: int = 100000
     view_step: int = 500

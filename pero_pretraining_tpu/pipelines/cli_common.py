@@ -45,6 +45,28 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
         print(f"compilation cache disabled: {e}")
 
 
+def add_optimizer_arguments(parser) -> None:
+    """Production optimizer knobs shared by all training CLIs (extensions —
+    the reference only has Adam + warmup-constant, train.py:146-147)."""
+    parser.add_argument("--schedule", choices=("constant", "cosine"), default="constant",
+                        help="LR after warmup: constant (reference) or cosine decay to --min-lr-fraction.")
+    parser.add_argument("--min-lr-fraction", type=float, default=0.0,
+                        help="Cosine floor as a fraction of --learning-rate.")
+    parser.add_argument("--weight-decay", type=float, default=0.0,
+                        help="AdamW decoupled weight decay (0 = plain Adam).")
+    parser.add_argument("--grad-clip", type=float, default=0.0,
+                        help="Global-norm gradient clipping (0 = off).")
+
+
+def optimizer_config_kwargs(args) -> dict:
+    return dict(
+        schedule=args.schedule,
+        min_lr_fraction=args.min_lr_fraction,
+        weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip,
+    )
+
+
 def build_dataset(
     lines_path: str,
     data_config: DataConfig,

@@ -19,7 +19,12 @@ from pero_pretraining_tpu.data.batching import BatchCreator, CTCBatchCreator
 from pero_pretraining_tpu.data.dataset import TranscriptionDataset
 from pero_pretraining_tpu.data.loader import DataLoader
 from pero_pretraining_tpu.parallel.mesh import create_mesh
-from pero_pretraining_tpu.pipelines.cli_common import init_directories, maybe_resume
+from pero_pretraining_tpu.pipelines.cli_common import (
+    add_optimizer_arguments,
+    init_directories,
+    maybe_resume,
+    optimizer_config_kwargs,
+)
 from pero_pretraining_tpu.pipelines.ctc import CTCTask, CTCTester
 from pero_pretraining_tpu.training.checkpoint import get_checkpoint_path
 from pero_pretraining_tpu.training.tester import numeric_batch
@@ -41,6 +46,7 @@ def parse_arguments():
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="Split each batch into N microbatches scanned inside the step (one optimizer update; activation memory / N).")
     parser.add_argument("--learning-rate", type=float, default=1e-4)
+    add_optimizer_arguments(parser)
     parser.add_argument("--start-iteration", type=int, default=0,
                         help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
     parser.add_argument("--end-iteration", type=int, default=50000)
@@ -100,6 +106,7 @@ def main():
         bfloat16=args.bfloat16,
         checkpoints_dir=args.checkpoints,
         seed=args.seed,
+        **optimizer_config_kwargs(args),
     )
 
     augmentations = build_augmentations(args.augmentations)

@@ -19,10 +19,12 @@ from pero_pretraining_tpu.configs import (
 from pero_pretraining_tpu.parallel.mesh import create_mesh
 from pero_pretraining_tpu.pipelines.autoencoder import AutoencoderTask
 from pero_pretraining_tpu.pipelines.cli_common import (
+    add_optimizer_arguments,
     build_loaders,
     init_directories,
     make_view_step_handler,
     maybe_resume,
+    optimizer_config_kwargs,
 )
 from pero_pretraining_tpu.pipelines.visualizers import AutoencoderVisualizer
 from pero_pretraining_tpu.training.tester import Tester, numeric_batch
@@ -32,8 +34,10 @@ from pero_pretraining_tpu.utils.logging import MetricsLogger
 
 def parse_arguments():
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--trn-lines-file", required=True)
-    parser.add_argument("--tst-lines-file", required=True)
+    parser.add_argument("--trn-lines-file", "--trn-images-file", dest="trn_lines_file",
+                        required=True, help="Training lines file (reference name: --trn-images-file).")
+    parser.add_argument("--tst-lines-file", "--tst-images-file", dest="tst_lines_file",
+                        required=True, help="Test lines file (reference name: --tst-images-file).")
     parser.add_argument("--lmdb-path", required=True)
     parser.add_argument("--augmentations", default=None)
 
@@ -41,6 +45,7 @@ def parse_arguments():
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="Split each batch into N microbatches scanned inside the step (one optimizer update; activation memory / N).")
     parser.add_argument("--learning-rate", type=float, default=1e-5)
+    add_optimizer_arguments(parser)
     parser.add_argument("--start-iteration", type=int, default=0,
                         help="Resume iteration; -1 = auto-resume from the latest checkpoint.")
     parser.add_argument("--end-iteration", type=int, default=100000)
@@ -104,6 +109,7 @@ def main():
         checkpoints_dir=args.checkpoints,
         visualizations_dir=args.visualizations,
         seed=args.seed,
+        **optimizer_config_kwargs(args),
     )
     data = DataConfig(
         lmdb_path=args.lmdb_path,

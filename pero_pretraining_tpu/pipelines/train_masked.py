@@ -22,10 +22,12 @@ from pero_pretraining_tpu.configs import (
 )
 from pero_pretraining_tpu.parallel.mesh import create_mesh
 from pero_pretraining_tpu.pipelines.cli_common import (
+    add_optimizer_arguments,
     build_loaders,
     init_directories,
     make_view_step_handler,
     maybe_resume,
+    optimizer_config_kwargs,
 )
 from pero_pretraining_tpu.pipelines.masked import MaskedTask
 from pero_pretraining_tpu.pipelines.visualizers import MaskedVisualizer
@@ -45,6 +47,7 @@ def parse_arguments():
     parser.add_argument("--grad-accum", type=int, default=1,
                         help="Split each batch into N microbatches scanned inside the step (one optimizer update; activation memory / N).")
     parser.add_argument("--learning-rate", type=float, default=0.0002)
+    add_optimizer_arguments(parser)
     parser.add_argument("--masking-prob", type=float, default=0.15)
     parser.add_argument("--masking-mode", choices=("iid", "span"), default="iid")
     parser.add_argument("--span-length", type=int, default=3)
@@ -135,6 +138,7 @@ def main():
         checkpoints_dir=args.checkpoints,
         visualizations_dir=args.visualizations,
         seed=args.seed,
+        **optimizer_config_kwargs(args),
     )
     data = DataConfig(
         lmdb_path=args.lmdb_path,

@@ -36,8 +36,23 @@ from pero_pretraining_tpu.parallel.sharding import (
     shard_batch,
     shard_batch_leading,
 )
-from pero_pretraining_tpu.training.schedules import warmup_polynomial_schedule
+from pero_pretraining_tpu.training.schedules import build_schedule
 from pero_pretraining_tpu.training.state import TrainState
+
+
+def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransformation:
+    """Optimizer from TrainingConfig: Adam (the reference optimizer,
+    masked_pretraining/train.py:146) or AdamW when weight_decay > 0, with
+    optional global-norm gradient clipping."""
+    opt = (
+        optax.adamw(learning_rate=schedule, weight_decay=config.weight_decay)
+        if getattr(config, "weight_decay", 0.0) > 0
+        else optax.adam(learning_rate=schedule)
+    )
+    clip = getattr(config, "grad_clip", 0.0)
+    if clip and clip > 0:
+        return optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
 
 
 class Trainer:
@@ -53,10 +68,8 @@ class Trainer:
         self.mesh = mesh if mesh is not None else local_mesh()
         self.on_view_step = on_view_step
 
-        self.schedule = warmup_polynomial_schedule(
-            config.learning_rate, config.warmup_iterations, config.warmup_polynomial_order
-        )
-        self.tx = optax.adam(learning_rate=self.schedule)
+        self.schedule = build_schedule(config)
+        self.tx = build_optimizer(config, self.schedule)
 
         donate = (0,) if config.donate_state else ()
         self._train_step = jax.jit(self._step, donate_argnums=donate)

@@ -3,8 +3,14 @@
 i <= warmup, then base; warmup <= 0 means constant."""
 
 import numpy as np
+import pytest
 
-from pero_pretraining_tpu.training.schedules import warmup_polynomial_schedule
+from pero_pretraining_tpu.configs import TrainingConfig
+from pero_pretraining_tpu.training.schedules import (
+    build_schedule,
+    warmup_cosine_schedule,
+    warmup_polynomial_schedule,
+)
 
 
 def test_linear_warmup_values():
@@ -24,3 +30,53 @@ def test_no_warmup_constant():
     sched = warmup_polynomial_schedule(3e-4, 0, 1)
     for step in (0, 1, 1000):
         np.testing.assert_allclose(float(sched(step)), 3e-4, rtol=1e-6)
+
+
+def test_cosine_schedule_shape():
+    sched = warmup_cosine_schedule(1e-3, 100, 1100, 1, min_lr_fraction=0.1)
+    np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=1e-6)  # mid-warmup
+    np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=1e-6)  # peak
+    np.testing.assert_allclose(float(sched(600)), 1e-3 * (0.1 + 0.9 * 0.5), rtol=1e-5)  # half decay
+    np.testing.assert_allclose(float(sched(1100)), 1e-4, rtol=1e-5)  # floor
+    np.testing.assert_allclose(float(sched(99999)), 1e-4, rtol=1e-5)  # clamps
+
+
+def test_build_schedule_dispatch():
+    constant = build_schedule(TrainingConfig(learning_rate=2e-4, warmup_iterations=0))
+    np.testing.assert_allclose(float(constant(12345)), 2e-4, rtol=1e-6)
+    cosine = build_schedule(
+        TrainingConfig(learning_rate=2e-4, warmup_iterations=0, end_iteration=1000, schedule="cosine")
+    )
+    np.testing.assert_allclose(float(cosine(1000)), 0.0, atol=1e-10)
+    with pytest.raises(ValueError):
+        build_schedule(TrainingConfig(schedule="bogus"))
+
+
+def test_optimizer_knobs_grad_clip_and_weight_decay():
+    import jax.numpy as jnp
+    import optax
+
+    from pero_pretraining_tpu.training.trainer import build_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    huge = {"w": jnp.full((4,), 1e6)}
+
+    cfg = TrainingConfig(learning_rate=1.0, warmup_iterations=0, grad_clip=1.0)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    state = tx.init(params)
+    updates, _ = tx.update(huge, state, params)
+    # Adam normalizes to ~lr per coord regardless; the clip must not explode it
+    assert float(jnp.abs(updates["w"]).max()) <= 1.0 + 1e-5
+
+    cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0, weight_decay=0.5)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    state = tx.init(params)
+    zeros = {"w": jnp.zeros((4,))}
+    updates, _ = tx.update(zeros, state, params)
+    # with zero grads AdamW still shrinks params: update = -lr * wd * w
+    np.testing.assert_allclose(np.asarray(updates["w"]), -0.05, rtol=1e-5)
+
+    cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    updates, _ = tx.update(zeros, tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-8)  # plain Adam: no decay
