@@ -185,6 +185,9 @@ class TrainingConfig:
     weight_decay: float = 0.0
     # global-norm gradient clipping (0 = off)
     grad_clip: float = 0.0
+    # LR multiplier for params under the top-level 'backbone' subtree
+    # (fine-tuning: protect pretrained features while the fresh head adapts)
+    backbone_lr_scale: float = 1.0
     start_iteration: int = 0
     end_iteration: int = 100000
     view_step: int = 500

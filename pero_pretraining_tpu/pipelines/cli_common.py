@@ -56,6 +56,8 @@ def add_optimizer_arguments(parser) -> None:
                         help="AdamW decoupled weight decay (0 = plain Adam).")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="Global-norm gradient clipping (0 = off).")
+    parser.add_argument("--backbone-lr-scale", type=float, default=1.0,
+                        help="LR multiplier for the 'backbone' params (fine-tuning: protect pretrained features).")
 
 
 def optimizer_config_kwargs(args) -> dict:
@@ -64,6 +66,7 @@ def optimizer_config_kwargs(args) -> dict:
         min_lr_fraction=args.min_lr_fraction,
         weight_decay=args.weight_decay,
         grad_clip=args.grad_clip,
+        backbone_lr_scale=args.backbone_lr_scale,
     )
 
 

@@ -43,12 +43,28 @@ from pero_pretraining_tpu.training.state import TrainState
 def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransformation:
     """Optimizer from TrainingConfig: Adam (the reference optimizer,
     masked_pretraining/train.py:146) or AdamW when weight_decay > 0, with
-    optional global-norm gradient clipping."""
-    opt = (
-        optax.adamw(learning_rate=schedule, weight_decay=config.weight_decay)
-        if getattr(config, "weight_decay", 0.0) > 0
-        else optax.adam(learning_rate=schedule)
-    )
+    optional global-norm gradient clipping and an optional reduced LR for the
+    pretrained 'backbone' subtree (fine-tuning)."""
+
+    def make(lr_schedule):
+        if getattr(config, "weight_decay", 0.0) > 0:
+            return optax.adamw(learning_rate=lr_schedule, weight_decay=config.weight_decay)
+        return optax.adam(learning_rate=lr_schedule)
+
+    scale = getattr(config, "backbone_lr_scale", 1.0)
+    if scale != 1.0:
+
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "backbone" if str(path[0]) == "['backbone']" or getattr(path[0], "key", None) == "backbone" else "rest",
+                params,
+            )
+
+        opt = optax.multi_transform(
+            {"backbone": make(lambda step: schedule(step) * scale), "rest": make(schedule)}, labels
+        )
+    else:
+        opt = make(schedule)
     clip = getattr(config, "grad_clip", 0.0)
     if clip and clip > 0:
         return optax.chain(optax.clip_by_global_norm(clip), opt)

@@ -80,3 +80,19 @@ def test_optimizer_knobs_grad_clip_and_weight_decay():
     tx = build_optimizer(cfg, build_schedule(cfg))
     updates, _ = tx.update(zeros, tx.init(params), params)
     np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-8)  # plain Adam: no decay
+
+
+def test_backbone_lr_scale():
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.training.trainer import build_optimizer
+
+    cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0, backbone_lr_scale=0.1)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    params = {"backbone": {"w": jnp.ones((4,))}, "ctc_head": {"w": jnp.ones((4,))}}
+    grads = {"backbone": {"w": jnp.full((4,), 2.0)}, "ctc_head": {"w": jnp.full((4,), 2.0)}}
+    updates, _ = tx.update(grads, tx.init(params), params)
+    # Adam's first-step update magnitude is ~lr per coordinate: the backbone
+    # update must be ~0.1x the head update
+    ratio = float(jnp.abs(updates["backbone"]["w"]).mean() / jnp.abs(updates["ctc_head"]["w"]).mean())
+    np.testing.assert_allclose(ratio, 0.1, rtol=1e-4)

@@ -6,15 +6,29 @@ cuts fine-tuned CER when labeled data is scarce. The real datasets (Bentham,
 historical print) are not redistributable, so this experiment reproduces the
 protocol on a locally rendered printed-text analogue (data/render.py):
 
-1. render an unlabeled corpus of TTF text lines (+ held-out labeled test set),
-2. train an AE tokenizer, k-means-quantize its features (the paper's
-   Post-Quantized AE method) -> per-frame discrete labels,
-3. masked-pretrain a ViT on those labels,
-4. CTC fine-tune at several labeled-line budgets, from scratch vs from the
-   pretrained backbone; report test CER per (budget, init),
-5. write docs/demo/rendered_summary.json + qualitative PNGs.
+1. corpus:   render unlabeled TTF text lines (+ held-out labeled test set),
+2. targets:  train an AE tokenizer, k-means-quantize its features (the
+             paper's Post-Quantized AE method) -> per-frame discrete labels,
+3. pretrain: masked-pretrain a ViT on those labels,
+4. finetune: CTC fine-tune at a labeled-line budget, from scratch or from the
+             pretrained backbone; append test CER to the summary,
+5. beam:     re-decode the best leg with prefix beam search + char-LM fusion.
 
-Run: python tools/rendered_experiment.py  (~15-30 min on one v5e chip)
+Stages are independent processes sharing artifacts under docs/demo/
+rendered_corpus/ — run long experiments one stage per process (a
+multi-hour single process accumulates host memory on tunneled-TPU
+transports; see .claude/skills/verify/SKILL.md). `--stage all` runs
+everything in one process (fine at default scale).
+
+Driver for the full sweep:
+
+    python tools/rendered_experiment.py --stage corpus
+    python tools/rendered_experiment.py --stage targets
+    python tools/rendered_experiment.py --stage pretrain
+    for b in 48 192; do for m in scratch pretrained; do
+      python tools/rendered_experiment.py --stage finetune --budget $b --mode $m
+    done; done
+    python tools/rendered_experiment.py --stage beam --budget 192
 """
 
 from __future__ import annotations
@@ -31,21 +45,64 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs", "demo")
 WIDTH = 512
-LABEL_STEP = 8
+BACKBONE = dict(type="vit", model_dim=256, num_heads=4, num_blocks=4, feedforward_dim=1024, max_len=128)
 
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", default="all",
+                   choices=("all", "corpus", "targets", "pretrain", "finetune", "beam"))
     p.add_argument("--n-unlabeled", type=int, default=3000)
     p.add_argument("--n-test", type=int, default=240)
-    p.add_argument("--budgets", type=str, default="48,192", help="labeled-line budgets (comma-separated)")
-    p.add_argument("--ae-iterations", type=int, default=800)
-    p.add_argument("--pretrain-iterations", type=int, default=4000)
-    p.add_argument("--finetune-iterations", type=int, default=2500)
+    p.add_argument("--budget", type=int, default=192, help="labeled-line budget (finetune/beam stages)")
+    p.add_argument("--mode", default="pretrained", choices=("scratch", "pretrained"))
+    p.add_argument("--budgets", type=str, default="48,192", help="budgets for --stage all")
+    p.add_argument("--ae-iterations", type=int, default=1500)
+    p.add_argument("--pretrain-iterations", type=int, default=12000)
+    p.add_argument("--finetune-iterations", type=int, default=10000)
+    p.add_argument("--backbone-lr-scale", type=float, default=1.0)
     p.add_argument("--num-clusters", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default=OUT)
     return p.parse_args()
+
+
+def _corpus_dir(args):
+    return os.path.join(args.out, "rendered_corpus")
+
+
+def _paths(args):
+    d = _corpus_dir(args)
+    return {
+        "dir": d,
+        "store": os.path.join(d, "images.sqlite"),
+        "trn_lines": os.path.join(d, "trn.lines"),
+        "trn_tsv": os.path.join(d, "trn.tsv"),
+        "tst_lines": os.path.join(d, "tst.lines"),
+        "tst_tsv": os.path.join(d, "tst.tsv"),
+        "ae_ckpt": os.path.join(d, "ae.msgpack"),
+        "pretrained": os.path.join(d, "pretrained.msgpack"),
+        "summary": os.path.join(args.out, "rendered_summary.json"),
+    }
+
+
+def _update_summary(path, key, value):
+    summary = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            summary = json.load(f)
+    summary[key] = value
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+
+
+def _mesh():
+    import jax
+
+    from pero_pretraining_tpu.configs import MeshConfig
+    from pero_pretraining_tpu.parallel.mesh import create_mesh
+
+    return create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
 
 
 def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
@@ -66,94 +123,19 @@ def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
     return trainer, state
 
 
-def finetune_ctc(backbone_cfg, charset, store_path, trn_tsv, tst_tsv, iterations, mesh,
-                 pretrained_ckpt=None, seed=0):
-    """One CTC fine-tune leg -> (state, task, test metrics)."""
-    import jax
-
-    from pero_pretraining_tpu.configs import TrainingConfig
-    from pero_pretraining_tpu.data.batching import BatchCreator, CTCBatchCreator
+def stage_corpus(args):
     from pero_pretraining_tpu.data.dataset import TranscriptionDataset
-    from pero_pretraining_tpu.data.loader import DataLoader
-    from pero_pretraining_tpu.pipelines.ctc import CTCTask, CTCTester
-    from pero_pretraining_tpu.training.state import TrainState
-    from pero_pretraining_tpu.training.tester import numeric_batch
-    from pero_pretraining_tpu.training.trainer import Trainer
-
-    training = TrainingConfig(learning_rate=2e-4, warmup_iterations=100, batch_size=16, seed=seed)
-    task = CTCTask(backbone_cfg, charset, training)
-    ds = TranscriptionDataset(store_path, trn_tsv, max_width=WIDTH)
-    creator = CTCBatchCreator(charset, BatchCreator(pad_to=WIDTH, seed=seed), max_label_len=64)
-    loader = DataLoader(ds, creator, batch_size=16, shuffle=True, num_workers=4)
-
-    trainer = Trainer(task, training, mesh=mesh)
-    variables = task.init_variables(jax.random.PRNGKey(seed), next(iter(loader)))
-    if pretrained_ckpt is not None:
-        variables = task.load_pretrained_backbone(variables, pretrained_ckpt)
-    variables = dict(variables)
-    params = jax.device_put(variables.pop("params"))
-    model_state = jax.device_put(variables)
-    opt_state = jax.jit(trainer.tx.init)(params)
-    state = TrainState.create(params, model_state, opt_state, seed)
-
-    def forever():
-        while True:
-            yield from (numeric_batch(b) for b in loader)
-
-    t0 = time.time()
-    state = trainer.fit(state, forever(), start_iteration=0, end_iteration=iterations,
-                        view_step=0, steps_per_call=10)
-
-    tst = TranscriptionDataset(store_path, tst_tsv, max_width=WIDTH)
-    tst_loader = DataLoader(tst, creator, batch_size=16, shuffle=False, num_workers=4)
-    result = CTCTester(task, tst_loader).test(state)
-    result["train_seconds"] = round(time.time() - t0, 1)
-    return state, task, tst_loader, result
-
-
-def main():
-    args = parse_args()
-    import jax
-    import jax.numpy as jnp
-
-    from pero_pretraining_tpu.configs import (
-        AutoencoderConfig, BackboneConfig, HeadConfig, MeshConfig, TrainingConfig,
-    )
-    from pero_pretraining_tpu.data.batching import BatchCreator
-    from pero_pretraining_tpu.data.dataset import LinesDataset
-    from pero_pretraining_tpu.data.loader import DataLoader
     from pero_pretraining_tpu.data.render import build_corpus
-    from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
-    from pero_pretraining_tpu.ops.vq import vq_assign
-    from pero_pretraining_tpu.parallel.mesh import create_mesh
-    from pero_pretraining_tpu.pipelines.autoencoder import AutoencoderTask
-    from pero_pretraining_tpu.pipelines.masked import MaskedTask
-    from pero_pretraining_tpu.pipelines.visualizers import MaskedVisualizer
-    from pero_pretraining_tpu.scripts.common import init_dataset, init_feature_model, save_labels
-    from pero_pretraining_tpu.training.checkpoint import save_checkpoint
-    from pero_pretraining_tpu.training.tester import Tester
-    from pero_pretraining_tpu.utils.text import Charset
     from pero_pretraining_tpu.utils.visualizer import write_png
 
-    os.makedirs(args.out, exist_ok=True)
-    corpus_dir = os.path.join(args.out, "rendered_corpus")
-    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
-    budgets = [int(b) for b in args.budgets.split(",")]
-    summary = {"config": vars(args)}
-
-    print("1) rendered corpus", flush=True)
+    print("corpus: rendering", flush=True)
     t0 = time.time()
-    corpus = build_corpus(corpus_dir, n_train=args.n_unlabeled, n_test=args.n_test,
-                          seed=args.seed, max_width=WIDTH)
-    store_path = corpus["store"]
-    trn_lines, trn_tsv = corpus["lines"]["trn"]
-    tst_lines, tst_tsv = corpus["lines"]["tst"]
+    build_corpus(_corpus_dir(args), n_train=args.n_unlabeled, n_test=args.n_test,
+                 seed=args.seed, max_width=WIDTH)
     print(f"  {args.n_unlabeled}+{args.n_test} lines in {time.time() - t0:.1f}s", flush=True)
 
-    # qualitative sample strip (first 10 test lines)
-    from pero_pretraining_tpu.data.dataset import TranscriptionDataset
-
-    sample_ds = TranscriptionDataset(store_path, tst_tsv, max_width=WIDTH)
+    p = _paths(args)
+    sample_ds = TranscriptionDataset(p["store"], p["tst_tsv"], max_width=WIDTH)
     rows = []
     for i in range(min(10, len(sample_ds))):
         img = sample_ds[i]["image"]
@@ -161,84 +143,223 @@ def main():
         rows.append(np.concatenate([img, pad], axis=1))
         rows.append(np.full((4, WIDTH, 3), 128, np.uint8))
     write_png(os.path.join(args.out, "rendered_samples.png"), np.concatenate(rows, axis=0))
+    _update_summary(p["summary"], "config", vars(args))
 
-    print("2) PQ-AE targets: AE tokenizer + k-means over its features", flush=True)
+
+def stage_targets(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.configs import AutoencoderConfig, TrainingConfig
+    from pero_pretraining_tpu.data.batching import BatchCreator
+    from pero_pretraining_tpu.data.dataset import LinesDataset
+    from pero_pretraining_tpu.data.loader import DataLoader
+    from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
+    from pero_pretraining_tpu.ops.vq import vq_assign
+    from pero_pretraining_tpu.pipelines.autoencoder import AutoencoderTask
+    from pero_pretraining_tpu.scripts.common import init_dataset, init_feature_model, save_labels
+    from pero_pretraining_tpu.training.checkpoint import save_checkpoint
+
+    p = _paths(args)
+    mesh = _mesh()
+    print("targets: AE tokenizer + k-means (PQ-AE)", flush=True)
     ae_cfg = AutoencoderConfig(type="ae", base_channels=32, decoder_base_channels=128)
-    ae_task = AutoencoderTask(ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed))
-    ae_ds = LinesDataset(store_path, trn_lines, max_width=WIDTH)
-    ae_loader = DataLoader(ae_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16, shuffle=True, num_workers=4)
+    ae_task = AutoencoderTask(
+        ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed)
+    )
+    ae_ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
+    ae_loader = DataLoader(ae_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+                           shuffle=True, num_workers=4)
     _, ae_state = run_trainer(ae_task, ae_loader, args.ae_iterations, mesh, "ae")
-    ae_ckpt = os.path.join(corpus_dir, "ae.msgpack")
-    save_checkpoint(ae_state, ae_ckpt)
+    save_checkpoint(ae_state, p["ae_ckpt"])
 
     ae_def = json.dumps({"type": "ae", "base_channels": 32, "decoder_base_channels": 128})
-    encode = init_feature_model(ae_def, ae_ckpt)
+    encode = init_feature_model(ae_def, p["ae_ckpt"])
     per_line = {}
-    for split, lines_path in (("trn", trn_lines), ("tst", tst_lines)):
+    for split, lines_path in (("trn", p["trn_lines"]), ("tst", p["tst_lines"])):
         rows = {}
-        for batch in init_dataset(store_path, lines_path, 16, max_width=WIDTH, num_workers=4):
+        for batch in init_dataset(p["store"], lines_path, 16, max_width=WIDTH, num_workers=4):
             frames = np.asarray(encode(jnp.asarray(batch["images"], jnp.float32) / 255.0), np.float32)
             for lid, lmask, lf in zip(batch["ids"], batch["image_masks"], frames):
                 rows[lid] = lf[lmask == 1]
         per_line[split] = rows
     all_feats = np.vstack(list(per_line["trn"].values()))
     print(f"  {all_feats.shape[0]} frames x {all_feats.shape[1]} dims", flush=True)
-    centers, inertia = fit_minibatch_kmeans(all_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
+    centers, _ = fit_minibatch_kmeans(all_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
     centers_dev = jnp.asarray(centers)
     for split in ("trn", "tst"):
         labels = {lid: np.asarray(vq_assign(jnp.asarray(f), centers_dev)).tolist()
                   for lid, f in per_line[split].items()}
-        save_labels(labels, os.path.join(corpus_dir, f"pqae_labels.{split}"))
+        save_labels(labels, os.path.join(p["dir"], f"pqae_labels.{split}"))
 
-    print("3) masked pretraining on PQ-AE labels", flush=True)
-    backbone_cfg = BackboneConfig(type="vit", model_dim=256, num_heads=4, num_blocks=4,
-                                  feedforward_dim=1024, max_len=128)
+
+def stage_pretrain(args):
+    from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
+    from pero_pretraining_tpu.data.batching import BatchCreator
+    from pero_pretraining_tpu.data.dataset import LinesDataset
+    from pero_pretraining_tpu.data.loader import DataLoader
+    from pero_pretraining_tpu.pipelines.masked import MaskedTask
+    from pero_pretraining_tpu.pipelines.visualizers import MaskedVisualizer
+    from pero_pretraining_tpu.training.checkpoint import save_checkpoint
+    from pero_pretraining_tpu.training.tester import Tester
+    from pero_pretraining_tpu.utils.visualizer import write_png
+
+    p = _paths(args)
+    mesh = _mesh()
+    print("pretrain: masked ViT on PQ-AE labels", flush=True)
+    backbone_cfg = BackboneConfig(**BACKBONE)
     m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16,
                                 masking_prob=0.3, seed=args.seed)
-    m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=256, out_features=args.num_clusters), m_training)
-    m_ds = LinesDataset(store_path, os.path.join(corpus_dir, "pqae_labels.trn"), max_width=WIDTH)
-    m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16, shuffle=True, num_workers=4)
+    m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=BACKBONE["model_dim"], out_features=args.num_clusters),
+                        m_training)
+    m_ds = LinesDataset(p["store"], os.path.join(p["dir"], "pqae_labels.trn"), max_width=WIDTH)
+    m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+                          shuffle=True, num_workers=4)
     _, m_state = run_trainer(m_task, m_loader, args.pretrain_iterations, mesh, "masked")
-    pretrained_ckpt = os.path.join(corpus_dir, "pretrained.msgpack")
-    save_checkpoint(m_state, pretrained_ckpt)
+    save_checkpoint(m_state, p["pretrained"])
 
-    tst_ds = LinesDataset(store_path, os.path.join(corpus_dir, "pqae_labels.tst"), max_width=WIDTH)
-    tst_loader = DataLoader(tst_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16, shuffle=False, num_workers=4)
+    tst_ds = LinesDataset(p["store"], os.path.join(p["dir"], "pqae_labels.tst"), max_width=WIDTH)
+    tst_loader = DataLoader(tst_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+                            shuffle=False, num_workers=4)
     m_result = Tester(m_task, tst_loader).test(m_state)
-    summary["masked_test"] = m_result
     print(f"  masked tst: loss {m_result['loss']:.4f}, top-1 err {m_result['errors_1']:.3f}", flush=True)
+    _update_summary(p["summary"], "masked_test", m_result)
     vis = MaskedVisualizer(m_task, tst_loader, show_masked_images=True)
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
 
-    print("4) CTC fine-tuning: scratch vs pretrained per labeled budget", flush=True)
-    charset = Charset(corpus["charset"])
-    with open(trn_tsv) as f:
-        all_rows = f.readlines()
-    ctc = {}
-    for budget in budgets:
-        small_tsv = os.path.join(corpus_dir, f"trn_{budget}.tsv")
-        with open(small_tsv, "w") as f:
-            f.writelines(all_rows[:budget])
+
+def _budget_tsv(args, budget):
+    p = _paths(args)
+    with open(p["trn_tsv"]) as f:
+        rows = f.readlines()
+    small = os.path.join(p["dir"], f"trn_{budget}.tsv")
+    with open(small, "w") as f:
+        f.writelines(rows[:budget])
+    return small
+
+
+def _finetune(args, budget, mode, lr_scale, iterations=None):
+    """One CTC fine-tune leg -> (state, task, test loader, metrics).
+    iterations=0 skips training and evaluation (returns the initialized
+    state for checkpoint loading)."""
+    import jax
+
+    from pero_pretraining_tpu.configs import BackboneConfig, TrainingConfig
+    from pero_pretraining_tpu.data.augment import build_augmentations
+    from pero_pretraining_tpu.data.batching import BatchCreator, CTCBatchCreator
+    from pero_pretraining_tpu.data.dataset import TranscriptionDataset
+    from pero_pretraining_tpu.data.loader import DataLoader
+    from pero_pretraining_tpu.data.render import corpus_charset
+    from pero_pretraining_tpu.pipelines.ctc import CTCTask, CTCTester
+    from pero_pretraining_tpu.training.state import TrainState
+    from pero_pretraining_tpu.training.tester import numeric_batch
+    from pero_pretraining_tpu.training.trainer import Trainer
+    from pero_pretraining_tpu.utils.text import Charset
+
+    p = _paths(args)
+    mesh = _mesh()
+    if iterations is None:
+        iterations = args.finetune_iterations
+    trn_tsv = _budget_tsv(args, budget)
+    training = TrainingConfig(learning_rate=2e-4, warmup_iterations=500, batch_size=16, seed=args.seed,
+                              end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05,
+                              backbone_lr_scale=lr_scale if mode == "pretrained" else 1.0)
+    charset = Charset(corpus_charset())
+    task = CTCTask(BackboneConfig(**BACKBONE), charset, training)
+    ds = TranscriptionDataset(p["store"], trn_tsv, max_width=WIDTH,
+                              augmentations=build_augmentations("light"))
+    creator = CTCBatchCreator(charset, BatchCreator(pad_to=WIDTH, seed=args.seed), max_label_len=64)
+    loader = DataLoader(ds, creator, batch_size=16, shuffle=True, num_workers=4)
+
+    trainer = Trainer(task, training, mesh=mesh)
+    variables = task.init_variables(jax.random.PRNGKey(args.seed), next(iter(loader)))
+    if mode == "pretrained":
+        variables = task.load_pretrained_backbone(variables, p["pretrained"])
+    variables = dict(variables)
+    params = jax.device_put(variables.pop("params"))
+    model_state = jax.device_put(variables)
+    opt_state = jax.jit(trainer.tx.init)(params)
+    state = TrainState.create(params, model_state, opt_state, args.seed)
+
+    def forever():
+        while True:
+            yield from (numeric_batch(b) for b in loader)
+
+    tst = TranscriptionDataset(p["store"], p["tst_tsv"], max_width=WIDTH)
+    tst_loader = DataLoader(tst, creator, batch_size=16, shuffle=False, num_workers=4)
+    if iterations == 0:
+        return state, task, tst_loader, {}
+
+    t0 = time.time()
+    state = trainer.fit(state, forever(), start_iteration=0, end_iteration=iterations,
+                        view_step=0, steps_per_call=10)
+    result = CTCTester(task, tst_loader).test(state)
+    result["train_seconds"] = round(time.time() - t0, 1)
+    return state, task, tst_loader, result
+
+
+def _leg_key(args):
+    key = f"{args.mode}_{args.budget}"
+    if args.mode == "pretrained" and args.backbone_lr_scale != 1.0:
+        key += f"_bbs{args.backbone_lr_scale:g}"
+    return key
+
+
+def stage_finetune(args):
+    from pero_pretraining_tpu.training.checkpoint import save_checkpoint
+
+    key = _leg_key(args)
+    print(f"finetune: {key} ({args.finetune_iterations} iters)", flush=True)
+    state, _, _, result = _finetune(args, args.budget, args.mode, args.backbone_lr_scale)
+    print(f"  {key}: tst loss {result['loss']:.4f}, CER {result['cer']:.4f}", flush=True)
+    save_checkpoint(state, os.path.join(_paths(args)["dir"], f"ctc_{key}.msgpack"))
+    _update_summary(_paths(args)["summary"], key, result)
+
+
+def stage_beam(args):
+    """Beam + char-LM decoding of a fine-tuned leg's saved checkpoint."""
+    from pero_pretraining_tpu.pipelines.ctc import CTCTester
+    from pero_pretraining_tpu.training.checkpoint import load_checkpoint
+    from pero_pretraining_tpu.utils.lm import CharNgramLM
+
+    p = _paths(args)
+    key = _leg_key(args)
+    print(f"beam: {key} + beam + char-LM", flush=True)
+    state, task, tst_loader, _ = _finetune(args, args.budget, args.mode, args.backbone_lr_scale, iterations=0)
+    state = load_checkpoint(state, os.path.join(p["dir"], f"ctc_{key}.msgpack"))
+    with open(p["trn_tsv"]) as f:
+        texts = [r.split("\t", 1)[1].strip() for r in f]
+    lm = CharNgramLM(order=4).fit(texts)
+    beam = CTCTester(task, tst_loader, decoder="beam", beam_width=12, lm=lm, lm_weight=0.4)
+    result = beam.test(state)
+    out_key = f"{key}_beam_lm"
+    print(f"  {out_key}: CER {result['cer']:.4f}", flush=True)
+    _update_summary(p["summary"], out_key, result)
+
+
+def main():
+    args = parse_args()
+    stages = {
+        "corpus": stage_corpus,
+        "targets": stage_targets,
+        "pretrain": stage_pretrain,
+        "finetune": stage_finetune,
+        "beam": stage_beam,
+    }
+    if args.stage != "all":
+        stages[args.stage](args)
+        return 0
+
+    stage_corpus(args)
+    stage_targets(args)
+    stage_pretrain(args)
+    for budget in (int(b) for b in args.budgets.split(",")):
         for mode in ("scratch", "pretrained"):
-            ckpt = pretrained_ckpt if mode == "pretrained" else None
-            state, task, ctc_tst_loader, result = finetune_ctc(
-                backbone_cfg, charset, store_path, small_tsv, tst_tsv,
-                args.finetune_iterations, mesh, pretrained_ckpt=ckpt, seed=args.seed)
-            ctc[f"{mode}_{budget}"] = result
-            print(f"  {mode} @ {budget} lines: tst loss {result['loss']:.4f}, CER {result['cer']:.4f}", flush=True)
-            if mode == "pretrained" and budget == max(budgets):
-                from pero_pretraining_tpu.pipelines.ctc import CTCTester
-                from pero_pretraining_tpu.utils.lm import CharNgramLM
-
-                lm = CharNgramLM(order=4).fit([r.split("\t", 1)[1].strip() for r in all_rows])
-                beam = CTCTester(task, ctc_tst_loader, decoder="beam", beam_width=12, lm=lm, lm_weight=0.4)
-                ctc[f"pretrained_{budget}_beam_lm"] = beam.test(state)
-                print(f"  pretrained+beam+LM @ {budget}: CER {ctc[f'pretrained_{budget}_beam_lm']['cer']:.4f}", flush=True)
-    summary["ctc"] = ctc
-
-    with open(os.path.join(args.out, "rendered_summary.json"), "w") as f:
-        json.dump(summary, f, indent=2, default=float)
-    print("\nSummary:", json.dumps(summary, indent=2, default=float))
+            args.budget, args.mode = budget, mode
+            stage_finetune(args)
+    args.budget = max(int(b) for b in args.budgets.split(","))
+    args.mode = "pretrained"
+    stage_beam(args)
     return 0
 
 
