@@ -56,6 +56,8 @@ def parse_args():
     p.add_argument("--n-test", type=int, default=240)
     p.add_argument("--budget", type=int, default=192, help="labeled-line budget (finetune/beam stages)")
     p.add_argument("--mode", default="pretrained", choices=("scratch", "pretrained"))
+    p.add_argument("--objective", default="masked", choices=("masked", "vicreg"),
+                   help="pretraining objective (pretrain stage; selects the checkpoint in finetune/beam)")
     p.add_argument("--budgets", type=str, default="48,192", help="budgets for --stage all")
     p.add_argument("--ae-iterations", type=int, default=1500)
     p.add_argument("--pretrain-iterations", type=int, default=12000)
@@ -81,7 +83,8 @@ def _paths(args):
         "tst_lines": os.path.join(d, "tst.lines"),
         "tst_tsv": os.path.join(d, "tst.tsv"),
         "ae_ckpt": os.path.join(d, "ae.msgpack"),
-        "pretrained": os.path.join(d, "pretrained.msgpack"),
+        "pretrained": os.path.join(d, "pretrained.msgpack" if args.objective == "masked"
+                                   else f"pretrained_{args.objective}.msgpack"),
         "summary": os.path.join(args.out, "rendered_summary.json"),
     }
 
@@ -206,6 +209,8 @@ def stage_pretrain(args):
 
     p = _paths(args)
     mesh = _mesh()
+    if args.objective == "vicreg":
+        return _pretrain_vicreg(args, p, mesh)
     print("pretrain: masked ViT on PQ-AE labels", flush=True)
     backbone_cfg = BackboneConfig(**BACKBONE)
     m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16,
@@ -226,6 +231,31 @@ def stage_pretrain(args):
     _update_summary(p["summary"], "masked_test", m_result)
     vis = MaskedVisualizer(m_task, tst_loader, show_masked_images=True)
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
+
+
+def _pretrain_vicreg(args, p, mesh):
+    """Joint-embedding (VICReg) pretraining on paired augmented views —
+    augmentation-invariant per-frame features (no offline targets needed)."""
+    from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
+    from pero_pretraining_tpu.data.augment import build_augmentations
+    from pero_pretraining_tpu.data.batching import BatchCreator
+    from pero_pretraining_tpu.data.dataset import LinesDataset
+    from pero_pretraining_tpu.data.loader import DataLoader
+    from pero_pretraining_tpu.pipelines.joint import JointEmbeddingTask
+    from pero_pretraining_tpu.training.checkpoint import save_checkpoint
+
+    print("pretrain: VICReg joint embedding (paired augmented views)", flush=True)
+    backbone_cfg = BackboneConfig(**BACKBONE)
+    head_cfg = HeadConfig(type="mlp", in_features=BACKBONE["model_dim"], out_features=1024,
+                          hidden_dim=1024, num_layers=3)
+    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=args.seed)
+    task = JointEmbeddingTask(backbone_cfg, head_cfg, training, loss_type="vicreg")
+    ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH, pair_images=True,
+                      augmentations=build_augmentations("light"))
+    loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+                        shuffle=True, num_workers=4)
+    _, state = run_trainer(task, loader, args.pretrain_iterations, mesh, "vicreg")
+    save_checkpoint(state, p["pretrained"])
 
 
 def _budget_tsv(args, budget):
@@ -300,8 +330,12 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
 
 def _leg_key(args):
     key = f"{args.mode}_{args.budget}"
+    if args.mode == "pretrained" and args.objective != "masked":
+        key = f"pretrained_{args.objective}_{args.budget}"
     if args.mode == "pretrained" and args.backbone_lr_scale != 1.0:
         key += f"_bbs{args.backbone_lr_scale:g}"
+    if args.finetune_iterations != 10000:
+        key += f"_it{args.finetune_iterations}"
     return key
 
 
