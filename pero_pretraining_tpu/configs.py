@@ -188,6 +188,9 @@ class TrainingConfig:
     # LR multiplier for params under the top-level 'backbone' subtree
     # (fine-tuning: protect pretrained features while the fresh head adapts)
     backbone_lr_scale: float = 1.0
+    # N > 0: skip optimizer updates when grads are non-finite, tolerating up
+    # to N consecutive bad steps (optax.apply_if_finite); 0 = off
+    skip_nonfinite: int = 0
     start_iteration: int = 0
     end_iteration: int = 100000
     view_step: int = 500

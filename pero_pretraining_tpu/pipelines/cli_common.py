@@ -58,6 +58,8 @@ def add_optimizer_arguments(parser) -> None:
                         help="Global-norm gradient clipping (0 = off).")
     parser.add_argument("--backbone-lr-scale", type=float, default=1.0,
                         help="LR multiplier for the 'backbone' params (fine-tuning: protect pretrained features).")
+    parser.add_argument("--skip-nonfinite", type=int, default=0,
+                        help="Skip updates with non-finite grads, tolerating up to N consecutive (0 = off).")
 
 
 def optimizer_config_kwargs(args) -> dict:
@@ -67,6 +69,7 @@ def optimizer_config_kwargs(args) -> dict:
         weight_decay=args.weight_decay,
         grad_clip=args.grad_clip,
         backbone_lr_scale=args.backbone_lr_scale,
+        skip_nonfinite=args.skip_nonfinite,
     )
 
 

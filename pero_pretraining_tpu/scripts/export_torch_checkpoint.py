@@ -9,7 +9,8 @@ masked_pretraining/model.py:65-69).
         --output model.pth
 
 Kinds: vit (backbone only), pero_vgg (frozen-encoder FQ path),
-masked_vit (backbone + linear head, reference MaskedTransformerEncoder).
+masked_vit (backbone + linear head, reference MaskedTransformerEncoder),
+ctc_vit (fine-tuned CTC recognizer: backbone + charset head).
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import argparse
 def parse_arguments():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", required=True, help="msgpack checkpoint (train state or variables)")
-    parser.add_argument("--kind", required=True, choices=("vit", "pero_vgg", "masked_vit"))
+    parser.add_argument("--kind", required=True, choices=("vit", "pero_vgg", "masked_vit", "ctc_vit"))
     parser.add_argument("--patch-height", type=int, default=40)
     parser.add_argument("--patch-width", type=int, default=8)
     parser.add_argument("--output", required=True, help="Output .pth path")
@@ -32,6 +33,7 @@ def main():
 
     from pero_pretraining_tpu.scripts.common import load_checkpoint_tree, split_variables
     from pero_pretraining_tpu.utils.torch_export import (
+        export_ctc_model,
         export_masked_model,
         export_pero_vgg_encoder,
         export_vit_backbone,
@@ -47,6 +49,8 @@ def main():
         sd = export_vit_backbone(backbone, patch_size=patch)
     elif args.kind == "pero_vgg":
         sd = export_pero_vgg_encoder(params, model_state.get("batch_stats"))
+    elif args.kind == "ctc_vit":
+        sd = export_ctc_model(params, patch_size=patch)
     else:
         sd = export_masked_model(params, patch_size=patch)
 

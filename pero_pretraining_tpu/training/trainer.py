@@ -67,7 +67,12 @@ def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransform
         opt = make(schedule)
     clip = getattr(config, "grad_clip", 0.0)
     if clip and clip > 0:
-        return optax.chain(optax.clip_by_global_norm(clip), opt)
+        opt = optax.chain(optax.clip_by_global_norm(clip), opt)
+    skip = getattr(config, "skip_nonfinite", 0)
+    if skip and skip > 0:
+        # skip (zero) the update on non-finite grads instead of poisoning the
+        # params; errors after `skip` CONSECUTIVE bad steps
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=skip)
     return opt
 
 

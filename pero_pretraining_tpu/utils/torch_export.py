@@ -117,6 +117,21 @@ def export_pero_vgg_encoder(
     return out
 
 
+def export_ctc_model(
+    params: Dict[str, Any],
+    patch_size: Tuple[int, int] = (40, 8),
+    in_channels: int = 3,
+) -> Dict[str, np.ndarray]:
+    """CTCModel params (ViT backbone + ctc_head Dense) -> reference-style
+    state_dict (backbone.* + head.linear.*). Structurally identical to the
+    reference MaskedTransformerEncoder with out_features == charset size
+    (incl. blank at index 0), so fine-tuned recognizers deploy into torch
+    consumers that compute per-frame logits for CTC decoding."""
+    out = export_vit_backbone(params["backbone"], patch_size, in_channels, prefix="backbone.")
+    linear_to_torch(params["ctc_head"], out, "head.linear")
+    return out
+
+
 def export_masked_model(
     params: Dict[str, Any],
     patch_size: Tuple[int, int] = (40, 8),

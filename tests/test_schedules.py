@@ -82,6 +82,27 @@ def test_optimizer_knobs_grad_clip_and_weight_decay():
     np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-8)  # plain Adam: no decay
 
 
+def test_skip_nonfinite_guard():
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.training.trainer import build_optimizer
+
+    cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0, skip_nonfinite=3, grad_clip=1.0)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+
+    bad = {"w": jnp.array([1.0, jnp.nan, 1.0, 1.0])}
+    updates, state = tx.update(bad, state, params)
+    np.testing.assert_array_equal(np.asarray(updates["w"]), 0.0)  # skipped
+    assert int(state.notfinite_count) == 1
+
+    good = {"w": jnp.full((4,), 2.0)}
+    updates, state = tx.update(good, state, params)
+    assert float(jnp.abs(updates["w"]).max()) > 0  # resumed
+    assert int(state.notfinite_count) == 0
+
+
 def test_backbone_lr_scale():
     import jax.numpy as jnp
 

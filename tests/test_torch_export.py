@@ -85,6 +85,50 @@ def test_pero_vgg_export_import_roundtrip(rng):
             np.testing.assert_allclose(flat_sg[key], np.asarray(flat_sw[key]), rtol=1e-6, atol=1e-7)
 
 
+def test_ctc_export_cli(rng, tmp_path, monkeypatch):
+    """Fine-tuned CTC recognizer -> .pth with reference-style keys and a
+    charset-sized head."""
+    from flax import serialization
+
+    from pero_pretraining_tpu.configs import TrainingConfig
+    from pero_pretraining_tpu.pipelines.ctc import CTCTask
+    from pero_pretraining_tpu.scripts.export_torch_checkpoint import main as export_main
+    from pero_pretraining_tpu.utils.text import Charset
+
+    charset = Charset(list("abc "))
+    task = CTCTask(
+        BackboneConfig(type="vit", model_dim=D, num_heads=HEADS, num_blocks=BLOCKS, feedforward_dim=FF, max_len=64),
+        charset,
+        TrainingConfig(seed=0),
+    )
+    batch = {"images": rng.randint(0, 255, (2, H, W, 3)).astype(np.uint8)}
+    variables = task.init_variables(jax.random.PRNGKey(0), batch)
+
+    ckpt = str(tmp_path / "ctc.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get({"params": variables["params"]})))
+
+    out = str(tmp_path / "ctc.pth")
+    monkeypatch.setattr(sys, "argv", ["export", "--input", ckpt, "--kind", "ctc_vit", "--output", out])
+    assert export_main() == 0
+
+    sd = torch.load(out, map_location="cpu")
+    assert "backbone.conv_layer.weight" in sd
+    assert sd["head.linear.weight"].shape == (len(charset), D)  # 4 chars + blank
+
+    # forward parity: torch reference ViT + exported head == our CTCModel logits
+    ref = TorchReferenceViT().eval()
+    ref.load_state_dict({k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}, strict=False)
+    head = torch.nn.Linear(D, len(charset))
+    head.load_state_dict({"weight": sd["head.linear.weight"], "bias": sd["head.linear.bias"]})
+
+    x_nhwc = rng.rand(2, H, W, 3).astype(np.float32)
+    ours = task.model.apply({"params": variables["params"]}, jnp.asarray(x_nhwc), train=False)
+    with torch.no_grad():
+        theirs = head(ref(torch.tensor(x_nhwc.transpose(0, 3, 1, 2)))).numpy()
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=2e-4)
+
+
 def test_export_cli_masked(rng, tmp_path, monkeypatch):
     """Full CLI: masked checkpoint -> .pth whose keys match the reference
     MaskedTransformerEncoder naming."""
