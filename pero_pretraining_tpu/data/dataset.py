@@ -64,9 +64,10 @@ def decode_image(data: bytes) -> Optional[np.ndarray]:
     return img[:, :, ::-1].copy()  # RGB -> BGR
 
 
-def encode_image(img: np.ndarray, ext: str = ".jpg") -> bytes:
+def encode_image(img: np.ndarray, ext: str = ".jpg", quality: Optional[int] = None) -> bytes:
     if HAS_CV2:
-        ok, data = cv2.imencode(ext, img)
+        flags = [int(cv2.IMWRITE_JPEG_QUALITY), quality] if quality is not None else []
+        ok, data = cv2.imencode(ext, img, flags)
         if not ok:
             raise ValueError("image encode failed")
         return data.tobytes()
@@ -75,7 +76,9 @@ def encode_image(img: np.ndarray, ext: str = ".jpg") -> bytes:
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.fromarray(img[:, :, ::-1]).save(buf, format="JPEG" if ext in (".jpg", ".jpeg") else "PNG")
+    is_jpeg = ext in (".jpg", ".jpeg")
+    kwargs = {"quality": quality} if (is_jpeg and quality is not None) else {}
+    Image.fromarray(img[:, :, ::-1]).save(buf, format="JPEG" if is_jpeg else "PNG", **kwargs)
     return buf.getvalue()
 
 

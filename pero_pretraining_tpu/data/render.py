@@ -178,10 +178,6 @@ def build_corpus(
         os.remove(store_path)
     store = SqliteStore(store_path, readonly=False)
     lines: Dict[str, Tuple[str, str]] = {}
-    try:
-        import cv2  # noqa: F401  (encode_image prefers cv2 when present)
-    except ImportError:
-        pass
     for split, count in (("trn", n_train), ("tst", n_test)):
         ids, texts = [], []
         for i in range(count):
@@ -191,7 +187,7 @@ def build_corpus(
             quality = int(rng.randint(jpeg_quality[0], jpeg_quality[1] + 1))
             ids.append(image_id)
             texts.append(text)
-            store.put(image_id, _encode_jpeg(img, quality))
+            store.put(image_id, encode_image(img, ".jpg", quality=quality))
         lines_path = os.path.join(out_dir, f"{split}.lines")
         with open(lines_path, "w") as f:
             f.writelines(i + "\n" for i in ids)
@@ -202,21 +198,3 @@ def build_corpus(
     store.commit()
     store.close()
     return {"store": store_path, "lines": lines, "charset": corpus_charset()}
-
-
-def _encode_jpeg(img: np.ndarray, quality: int) -> bytes:
-    try:
-        import cv2
-
-        ok, data = cv2.imencode(".jpg", img, [int(cv2.IMWRITE_JPEG_QUALITY), quality])
-        if ok:
-            return data.tobytes()
-    except ImportError:
-        pass
-    import io
-
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.fromarray(img[:, :, ::-1]).save(buf, format="JPEG", quality=quality)
-    return buf.getvalue()

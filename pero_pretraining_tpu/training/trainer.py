@@ -56,8 +56,7 @@ def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransform
 
         def labels(params):
             return jax.tree_util.tree_map_with_path(
-                lambda path, _: "backbone" if str(path[0]) == "['backbone']" or getattr(path[0], "key", None) == "backbone" else "rest",
-                params,
+                lambda path, _: "backbone" if getattr(path[0], "key", None) == "backbone" else "rest", params
             )
 
         opt = optax.multi_transform(

@@ -108,19 +108,22 @@ def _mesh():
     return create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
 
 
-def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
+def _stream(loader):
+    """Endless numeric batches (the loader is re-iterated on exhaustion)."""
     from pero_pretraining_tpu.training.tester import numeric_batch
+
+    while True:
+        yield from (numeric_batch(b) for b in loader)
+
+
+def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
     from pero_pretraining_tpu.training.trainer import Trainer
 
     trainer = Trainer(task, task.training_config, mesh=mesh)
     state = trainer.init_state(next(iter(loader)))
 
-    def forever():
-        while True:
-            yield from (numeric_batch(b) for b in loader)
-
     t0 = time.time()
-    state = trainer.fit(state, forever(), start_iteration=0, end_iteration=iterations,
+    state = trainer.fit(state, _stream(loader), start_iteration=0, end_iteration=iterations,
                         view_step=0, steps_per_call=steps_per_call)
     print(f"  {log_name}: {iterations} iters in {time.time() - t0:.1f}s", flush=True)
     return trainer, state
@@ -282,7 +285,6 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
     from pero_pretraining_tpu.data.render import corpus_charset
     from pero_pretraining_tpu.pipelines.ctc import CTCTask, CTCTester
     from pero_pretraining_tpu.training.state import TrainState
-    from pero_pretraining_tpu.training.tester import numeric_batch
     from pero_pretraining_tpu.training.trainer import Trainer
     from pero_pretraining_tpu.utils.text import Charset
 
@@ -311,17 +313,13 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
     opt_state = jax.jit(trainer.tx.init)(params)
     state = TrainState.create(params, model_state, opt_state, args.seed)
 
-    def forever():
-        while True:
-            yield from (numeric_batch(b) for b in loader)
-
     tst = TranscriptionDataset(p["store"], p["tst_tsv"], max_width=WIDTH)
     tst_loader = DataLoader(tst, creator, batch_size=16, shuffle=False, num_workers=4)
     if iterations == 0:
         return state, task, tst_loader, {}
 
     t0 = time.time()
-    state = trainer.fit(state, forever(), start_iteration=0, end_iteration=iterations,
+    state = trainer.fit(state, _stream(loader), start_iteration=0, end_iteration=iterations,
                         view_step=0, steps_per_call=10)
     result = CTCTester(task, tst_loader).test(state)
     result["train_seconds"] = round(time.time() - t0, 1)
