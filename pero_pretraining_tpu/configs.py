@@ -198,6 +198,11 @@ class TrainingConfig:
     bfloat16: bool = False
     masking_prob: float = 0.15
     masking_mode: str = "iid"  # "iid" | "span"
+    # autoencoder pipeline: corrupt the input on device (noise std up to this
+    # value in [0,1] pixel scale + brightness/contrast jitter) while
+    # reconstructing the CLEAN image — a denoising AE whose features (and
+    # therefore PQ-AE/VQ codes) become degradation-invariant. 0 = plain AE.
+    denoising: float = 0.0
     span_length: int = 3
     unmasked_weight: Optional[float] = None
     device_augment: bool = False

@@ -174,10 +174,13 @@ class AE(nn.Module):
     def encode(self, images, *, train: bool = False):
         return self.encoder(images, train=train)
 
-    def __call__(self, images: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, images: jax.Array, *, train: bool = False, target=None) -> Dict[str, jax.Array]:
+        """target: reconstruction target; defaults to the input (plain AE).
+        A clean target with a corrupted input makes this a denoising AE."""
+        target = images if target is None else target
         tokens = self.encoder(images, train=train)
         reconstructions = self.decoder(tokens, train=train)
-        loss = jnp.mean((images.astype(jnp.float32) - reconstructions.astype(jnp.float32)) ** 2)
+        loss = jnp.mean((target.astype(jnp.float32) - reconstructions.astype(jnp.float32)) ** 2)
         return {"tokens": tokens, "loss": loss, "reconstructions": reconstructions}
 
 
@@ -209,13 +212,14 @@ class VQVAE(nn.Module):
         tokens, labels = self.vq(projected, train=train)
         return self.decoder_projection(tokens), labels, tokens, projected
 
-    def __call__(self, images: jax.Array, *, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, images: jax.Array, *, train: bool = False, target=None) -> Dict[str, jax.Array]:
         cfg = self.config
+        target = images if target is None else target
         features = self.encode(images, train=train)
         tokens, labels, vq_tokens, projected = self.quantize(features, train=train)
         reconstructions = self.decoder(tokens, train=train)
 
-        images32 = images.astype(jnp.float32)
+        images32 = target.astype(jnp.float32)
         recon32 = reconstructions.astype(jnp.float32)
         if cfg.reconstruction_loss.lower() in ("l2", "mse"):
             recon_loss = jnp.mean((images32 - recon32) ** 2)

@@ -34,19 +34,39 @@ class AutoencoderTask:
         init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
         return init({"params": init_rng, "dropout": drop_rng}, images)
 
-    def _apply(self, params, model_state, images, rng, train: bool):
+    def _corrupt(self, images: jax.Array, rng: jax.Array) -> jax.Array:
+        """Device-side print-like corruption (fused into the jitted step):
+        per-sample additive Gaussian noise + brightness/contrast jitter.
+        Strength scales with TrainingConfig.denoising."""
+        strength = self.training_config.denoising
+        n = images.shape[0]
+        k_std, k_noise, k_bright, k_contrast = jax.random.split(rng, 4)
+        per = (n, 1, 1, 1)
+        std = jax.random.uniform(k_std, per, minval=0.0, maxval=strength)
+        noisy = images + jax.random.normal(k_noise, images.shape) * std
+        contrast = 1.0 + jax.random.uniform(k_contrast, per, minval=-strength, maxval=strength)
+        brightness = jax.random.uniform(k_bright, per, minval=-strength, maxval=strength)
+        return jnp.clip(noisy * contrast + brightness, 0.0, 1.0)
+
+    def _apply(self, params, model_state, images, rng, train: bool, target=None):
         variables = {"params": params, **model_state}
         rngs = {"dropout": rng} if train else None
         mutable = list(model_state.keys()) if train else False
         if train and mutable:
-            out, new_state = self.model.apply(variables, images, train=True, rngs=rngs, mutable=mutable)
+            out, new_state = self.model.apply(
+                variables, images, train=True, target=target, rngs=rngs, mutable=mutable
+            )
             return out, dict(new_state)
-        out = self.model.apply(variables, images, train=train, rngs=rngs)
+        out = self.model.apply(variables, images, train=train, target=target, rngs=rngs)
         return out, model_state
 
     def loss_fn(self, params, model_state, batch, rng, train: bool):
         images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
-        out, new_model_state = self._apply(params, model_state, images, rng, train)
+        target = None
+        if train and self.training_config.denoising > 0:
+            corrupt_rng, rng = jax.random.split(rng)
+            images, target = self._corrupt(images, corrupt_rng), images
+        out, new_model_state = self._apply(params, model_state, images, rng, train, target=target)
 
         metrics = {k: v for k, v in out.items() if k.startswith("loss")}
         if "counts" in out:

@@ -65,6 +65,9 @@ def parse_arguments():
     parser.add_argument("--checkpoints", default=None)
     parser.add_argument("--visualizations", default=None)
     parser.add_argument("--bfloat16", action="store_true")
+    parser.add_argument("--denoising", type=float, default=0.0,
+                        help="Denoising AE: corrupt inputs on device up to this strength while "
+                             "reconstructing the clean image (0 = plain AE, the reference behavior).")
     parser.add_argument("--project-name", default=None, help="ClearML project (optional).")
     parser.add_argument("--task-name", default=None, help="ClearML task (optional).")
     parser.add_argument("--metrics-log", default=None)
@@ -106,6 +109,7 @@ def main():
         batch_size=args.batch_size,
         grad_accum=args.grad_accum,
         bfloat16=args.bfloat16,
+        denoising=args.denoising,
         checkpoints_dir=args.checkpoints,
         visualizations_dir=args.visualizations,
         seed=args.seed,

@@ -82,14 +82,14 @@ def test_vq_straight_through_gradient(rng):
     np.testing.assert_allclose(np.asarray(grads), 3.0 * np.ones_like(x), rtol=1e-6)
 
 
-def _train_tokenizer(model_type, rng, steps=15):
+def _train_tokenizer(model_type, rng, steps=15, denoising=0.0):
     cfg = AutoencoderConfig(
         type=model_type,
         base_channels=8,
         decoder_base_channels=32,
         vq=VQConfig(num_embeddings=32, embeddings_dim=16),
     )
-    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=0, seed=0)
+    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=0, seed=0, denoising=denoising)
     task = AutoencoderTask(cfg, training)
     mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
     trainer = Trainer(task, training, mesh=mesh)
@@ -118,3 +118,42 @@ def test_vqvae_training_smoke(rng):
     assert float(metrics["codebook.perplexity"]) >= 1.0
     # EMA state must actually move during training
     assert "vq" in state.model_state
+
+
+def test_denoising_ae_training(rng):
+    """Denoising mode: corrupted input, clean target — still trains, and the
+    eval loss (clean input, plain reconstruction) stays finite."""
+    losses, _, state = _train_tokenizer("ae", rng, denoising=0.3)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_denoising_corruption_properties(rng):
+    import jax
+
+    from pero_pretraining_tpu.pipelines.autoencoder import AutoencoderTask
+
+    cfg = AutoencoderConfig(type="ae", base_channels=8, decoder_base_channels=32)
+    task = AutoencoderTask(cfg, TrainingConfig(denoising=0.3))
+    images = jnp.asarray(rng.rand(4, 40, 64, 3).astype(np.float32))
+    out = task._corrupt(images, jax.random.PRNGKey(0))
+    assert out.shape == images.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert float(jnp.abs(out - images).mean()) > 1e-3  # actually corrupted
+    out2 = task._corrupt(images, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))  # keyed-RNG deterministic
+
+
+def test_ae_target_argument():
+    """AE loss is computed against the target, not the input."""
+    import jax
+
+    from pero_pretraining_tpu.models.autoencoders import build_autoencoder
+
+    cfg = AutoencoderConfig(type="ae", base_channels=8, decoder_base_channels=32)
+    model = build_autoencoder(cfg)
+    x = jnp.zeros((1, 40, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    same = model.apply(variables, x, train=False)
+    other = model.apply(variables, x, train=False, target=jnp.ones_like(x))
+    assert abs(float(same["loss"]) - float(other["loss"])) > 1e-3

@@ -56,8 +56,9 @@ def parse_args():
     p.add_argument("--n-test", type=int, default=240)
     p.add_argument("--budget", type=int, default=192, help="labeled-line budget (finetune/beam stages)")
     p.add_argument("--mode", default="pretrained", choices=("scratch", "pretrained"))
-    p.add_argument("--objective", default="masked", choices=("masked", "vicreg"),
-                   help="pretraining objective (pretrain stage; selects the checkpoint in finetune/beam)")
+    p.add_argument("--objective", default="masked", choices=("masked", "masked_dn", "vicreg"),
+                   help="pretraining objective: masked = PQ-AE targets; masked_dn = PQ-AE over a "
+                        "DENOISING AE's features; vicreg = joint embedding. Selects artifacts in later stages.")
     p.add_argument("--budgets", type=str, default="48,192", help="budgets for --stage all")
     p.add_argument("--ae-iterations", type=int, default=1500)
     p.add_argument("--pretrain-iterations", type=int, default=12000)
@@ -168,19 +169,23 @@ def stage_targets(args):
 
     p = _paths(args)
     mesh = _mesh()
-    print("targets: AE tokenizer + k-means (PQ-AE)", flush=True)
+    dn = 0.3 if args.objective == "masked_dn" else 0.0
+    suffix = "_dn" if dn else ""
+    print(f"targets: AE tokenizer + k-means (PQ-AE{suffix})", flush=True)
     ae_cfg = AutoencoderConfig(type="ae", base_channels=32, decoder_base_channels=128)
     ae_task = AutoencoderTask(
-        ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed)
+        ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed,
+                               denoising=dn)
     )
     ae_ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
     ae_loader = DataLoader(ae_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
                            shuffle=True, num_workers=4)
-    _, ae_state = run_trainer(ae_task, ae_loader, args.ae_iterations, mesh, "ae")
-    save_checkpoint(ae_state, p["ae_ckpt"])
+    _, ae_state = run_trainer(ae_task, ae_loader, args.ae_iterations, mesh, f"ae{suffix}")
+    ae_ckpt = os.path.join(p["dir"], f"ae{suffix}.msgpack")
+    save_checkpoint(ae_state, ae_ckpt)
 
     ae_def = json.dumps({"type": "ae", "base_channels": 32, "decoder_base_channels": 128})
-    encode = init_feature_model(ae_def, p["ae_ckpt"])
+    encode = init_feature_model(ae_def, ae_ckpt)
     per_line = {}
     for split, lines_path in (("trn", p["trn_lines"]), ("tst", p["tst_lines"])):
         rows = {}
@@ -196,7 +201,7 @@ def stage_targets(args):
     for split in ("trn", "tst"):
         labels = {lid: np.asarray(vq_assign(jnp.asarray(f), centers_dev)).tolist()
                   for lid, f in per_line[split].items()}
-        save_labels(labels, os.path.join(p["dir"], f"pqae_labels.{split}"))
+        save_labels(labels, os.path.join(p["dir"], f"pqae{suffix}_labels.{split}"))
 
 
 def stage_pretrain(args):
@@ -214,24 +219,25 @@ def stage_pretrain(args):
     mesh = _mesh()
     if args.objective == "vicreg":
         return _pretrain_vicreg(args, p, mesh)
-    print("pretrain: masked ViT on PQ-AE labels", flush=True)
+    suffix = "_dn" if args.objective == "masked_dn" else ""
+    print(f"pretrain: masked ViT on PQ-AE{suffix} labels", flush=True)
     backbone_cfg = BackboneConfig(**BACKBONE)
     m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16,
                                 masking_prob=0.3, seed=args.seed)
     m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=BACKBONE["model_dim"], out_features=args.num_clusters),
                         m_training)
-    m_ds = LinesDataset(p["store"], os.path.join(p["dir"], "pqae_labels.trn"), max_width=WIDTH)
+    m_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"pqae{suffix}_labels.trn"), max_width=WIDTH)
     m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
                           shuffle=True, num_workers=4)
     _, m_state = run_trainer(m_task, m_loader, args.pretrain_iterations, mesh, "masked")
     save_checkpoint(m_state, p["pretrained"])
 
-    tst_ds = LinesDataset(p["store"], os.path.join(p["dir"], "pqae_labels.tst"), max_width=WIDTH)
+    tst_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"pqae{suffix}_labels.tst"), max_width=WIDTH)
     tst_loader = DataLoader(tst_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
                             shuffle=False, num_workers=4)
     m_result = Tester(m_task, tst_loader).test(m_state)
     print(f"  masked tst: loss {m_result['loss']:.4f}, top-1 err {m_result['errors_1']:.3f}", flush=True)
-    _update_summary(p["summary"], "masked_test", m_result)
+    _update_summary(p["summary"], f"masked{suffix}_test", m_result)
     vis = MaskedVisualizer(m_task, tst_loader, show_masked_images=True)
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
 
