@@ -1,0 +1,57 @@
+"""Unit tests for the rendered-experiment staged CLI's pure logic
+(tools/rendered_experiment.py): leg keys and objective-aware artifact paths."""
+
+import importlib.util
+import os
+import sys
+import types
+
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "rendered_experiment.py")
+
+
+@pytest.fixture(scope="module")
+def tool():
+    spec = importlib.util.spec_from_file_location("rendered_experiment", _TOOL)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(**kw):
+    ns = types.SimpleNamespace(
+        stage="finetune", mode="pretrained", objective="masked", budget=192,
+        backbone_lr_scale=1.0, finetune_iterations=10000, out="/tmp/x",
+    )
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_leg_keys(tool):
+    assert tool._leg_key(_args()) == "pretrained_192"
+    assert tool._leg_key(_args(mode="scratch", budget=48)) == "scratch_48"
+    assert tool._leg_key(_args(objective="masked_dn")) == "pretrained_masked_dn_192"
+    assert tool._leg_key(_args(objective="vicreg", budget=48)) == "pretrained_vicreg_48"
+    assert tool._leg_key(_args(backbone_lr_scale=0.1)) == "pretrained_192_bbs0.1"
+    assert tool._leg_key(_args(finetune_iterations=2500)) == "pretrained_192_it2500"
+    # scratch ignores objective/backbone-lr-scale (no pretrained checkpoint involved)
+    assert tool._leg_key(_args(mode="scratch", objective="vicreg")) == "scratch_192"
+
+
+def test_objective_paths(tool):
+    assert tool._paths(_args())["pretrained"].endswith("pretrained.msgpack")
+    assert tool._paths(_args(objective="masked_dn"))["pretrained"].endswith("pretrained_masked_dn.msgpack")
+    assert tool._paths(_args(objective="vicreg"))["pretrained"].endswith("pretrained_vicreg.msgpack")
+
+
+def test_update_summary_appends(tool, tmp_path):
+    path = str(tmp_path / "summary.json")
+    tool._update_summary(path, "a", {"cer": 0.5})
+    tool._update_summary(path, "b", {"cer": 0.4})
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    assert data == {"a": {"cer": 0.5}, "b": {"cer": 0.4}}
