@@ -56,9 +56,9 @@ def parse_args():
     p.add_argument("--n-test", type=int, default=240)
     p.add_argument("--budget", type=int, default=192, help="labeled-line budget (finetune/beam stages)")
     p.add_argument("--mode", default="pretrained", choices=("scratch", "pretrained"))
-    p.add_argument("--objective", default="masked", choices=("masked", "masked_dn", "vicreg"),
+    p.add_argument("--objective", default="masked", choices=("masked", "masked_dn", "vicreg", "ntxent"),
                    help="pretraining objective: masked = PQ-AE targets; masked_dn = PQ-AE over a "
-                        "DENOISING AE's features; vicreg = joint embedding. Selects artifacts in later stages.")
+                        "DENOISING AE's features; vicreg/ntxent = joint embedding. Selects artifacts in later stages.")
     p.add_argument("--budgets", type=str, default="48,192", help="budgets for --stage all")
     p.add_argument("--ae-iterations", type=int, default=1500)
     p.add_argument("--pretrain-iterations", type=int, default=12000)
@@ -217,8 +217,8 @@ def stage_pretrain(args):
 
     p = _paths(args)
     mesh = _mesh()
-    if args.objective == "vicreg":
-        return _pretrain_vicreg(args, p, mesh)
+    if args.objective in ("vicreg", "ntxent"):
+        return _pretrain_joint(args, p, mesh, args.objective)
     suffix = "_dn" if args.objective == "masked_dn" else ""
     print(f"pretrain: masked ViT on PQ-AE{suffix} labels", flush=True)
     backbone_cfg = BackboneConfig(**BACKBONE)
@@ -242,9 +242,9 @@ def stage_pretrain(args):
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
 
 
-def _pretrain_vicreg(args, p, mesh):
-    """Joint-embedding (VICReg) pretraining on paired augmented views —
-    augmentation-invariant per-frame features (no offline targets needed)."""
+def _pretrain_joint(args, p, mesh, loss_type):
+    """Joint-embedding (VICReg / NT-Xent) pretraining on paired augmented
+    views — augmentation-invariant per-frame features (no offline targets)."""
     from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
     from pero_pretraining_tpu.data.augment import build_augmentations
     from pero_pretraining_tpu.data.batching import BatchCreator
@@ -253,17 +253,17 @@ def _pretrain_vicreg(args, p, mesh):
     from pero_pretraining_tpu.pipelines.joint import JointEmbeddingTask
     from pero_pretraining_tpu.training.checkpoint import save_checkpoint
 
-    print("pretrain: VICReg joint embedding (paired augmented views)", flush=True)
+    print(f"pretrain: {loss_type} joint embedding (paired augmented views)", flush=True)
     backbone_cfg = BackboneConfig(**BACKBONE)
     head_cfg = HeadConfig(type="mlp", in_features=BACKBONE["model_dim"], out_features=1024,
                           hidden_dim=1024, num_layers=3)
     training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=args.seed)
-    task = JointEmbeddingTask(backbone_cfg, head_cfg, training, loss_type="vicreg")
+    task = JointEmbeddingTask(backbone_cfg, head_cfg, training, loss_type=loss_type)
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH, pair_images=True,
                       augmentations=build_augmentations("light"))
     loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
                         shuffle=True, num_workers=4)
-    _, state = run_trainer(task, loader, args.pretrain_iterations, mesh, "vicreg")
+    _, state = run_trainer(task, loader, args.pretrain_iterations, mesh, loss_type)
     save_checkpoint(state, p["pretrained"])
 
 
