@@ -60,12 +60,14 @@ def find_fonts(extra_dirs: Optional[Sequence[str]] = None) -> List[str]:
     for root in search:
         candidates.extend(glob.glob(os.path.join(root, "**", "DejaVu*.ttf"), recursive=True))
     # drop duplicates by basename (the same family ships in several places) and
-    # the math "Display" variants (zero-height text bboxes — not prose fonts)
+    # the non-prose variants: "Display" (zero-height text bboxes) and "Math"
+    # (DejaVuMathTeXGyre: unusual glyph metrics, not prose)
     seen: Dict[str, str] = {}
     for path in sorted(candidates):
-        if "Display" in os.path.basename(path):
+        base = os.path.basename(path)
+        if "Display" in base or "Math" in base:
             continue
-        seen.setdefault(os.path.basename(path), path)
+        seen.setdefault(base, path)
     return sorted(seen.values())
 
 
@@ -95,20 +97,56 @@ def sample_text(rng: np.random.RandomState, min_words: int = 3, max_words: int =
     return text
 
 
+MAX_MARGIN = 12
+
+
+def sample_fitting(
+    rng: np.random.RandomState,
+    fonts: Sequence[str],
+    max_width: int,
+    min_words: int = 3,
+    max_words: int = 9,
+) -> Tuple[str, str, int]:
+    """Sample (text, font_path, size) whose rendered width is guaranteed to fit
+    `max_width` (including worst-case margins), so the stored transcription
+    matches the visible pixels exactly. Without this, long lines get
+    image-cropped at max_width while keeping the FULL text as CTC target —
+    systematic label noise that floors the achievable CER."""
+    from PIL import ImageFont
+
+    budget = max_width - 2 * MAX_MARGIN
+    words = max_words
+    while True:
+        text = sample_text(rng, min_words=min_words, max_words=words)
+        font_path = fonts[rng.randint(len(fonts))]
+        size = rng.randint(22, 33)
+        font = ImageFont.truetype(font_path, size)
+        left, _, right, _ = font.getbbox(text)
+        if right - left <= budget:
+            return text, font_path, size
+        words = max(min_words, words - 1)  # shrink until something fits
+
+
 def render_line(
     text: str,
     rng: np.random.RandomState,
     fonts: Sequence[str],
     height: int = HEIGHT,
     max_width: Optional[int] = None,
+    font_path: Optional[str] = None,
+    size: Optional[int] = None,
 ) -> np.ndarray:
     """Render one text line -> (height, W, 3) uint8 BGR with print-like
     degradations. W varies with the text and font (multiple of 1 px; callers
-    crop/pad downstream as with any dataset image)."""
+    crop/pad downstream as with any dataset image). Pass `font_path`/`size`
+    (e.g. from sample_fitting) to control the glyph geometry; by default both
+    are sampled here."""
     from PIL import Image, ImageDraw, ImageFilter, ImageFont
 
-    font_path = fonts[rng.randint(len(fonts))]
-    size = rng.randint(22, 33)
+    if font_path is None:
+        font_path = fonts[rng.randint(len(fonts))]
+    if size is None:
+        size = rng.randint(22, 33)
     font = ImageFont.truetype(font_path, size)
 
     left, top, right, bottom = font.getbbox(text)
@@ -153,6 +191,7 @@ def build_corpus(
     max_width: int = 512,
     jpeg_quality: Tuple[int, int] = (60, 95),
     store_name: str = "images.sqlite",
+    fit_text: bool = True,
 ) -> Dict[str, object]:
     """Render a corpus and write it in the framework's dataset formats.
 
@@ -160,6 +199,11 @@ def build_corpus(
     - `images.sqlite` — image KV store (JPEG-encoded lines),
     - `{trn,tst}.lines` — image-id lists (pretraining input),
     - `{trn,tst}.tsv`  — `"<id>\\t<text>"` transcriptions (CTC fine-tuning).
+
+    `fit_text=True` (default) samples text/font/size jointly so every line fits
+    `max_width` un-cropped and the transcription matches the pixels exactly;
+    `fit_text=False` reproduces the legacy behavior (image cropped at
+    max_width, full text kept — label noise on long lines).
 
     Returns {"store": path, "lines": {split: (lines_path, tsv_path)},
     "charset": [chars]}.
@@ -181,8 +225,12 @@ def build_corpus(
     for split, count in (("trn", n_train), ("tst", n_test)):
         ids, texts = [], []
         for i in range(count):
-            text = sample_text(rng)
-            img = render_line(text, rng, fonts, max_width=max_width)
+            if fit_text:
+                text, font_path, size = sample_fitting(rng, fonts, max_width)
+                img = render_line(text, rng, fonts, max_width=max_width, font_path=font_path, size=size)
+            else:
+                text = sample_text(rng)
+                img = render_line(text, rng, fonts, max_width=max_width)
             image_id = f"{split}_{i:06d}.jpg"
             quality = int(rng.randint(jpeg_quality[0], jpeg_quality[1] + 1))
             ids.append(image_id)

@@ -46,7 +46,10 @@ class AutoencoderTask:
         noisy = images + jax.random.normal(k_noise, images.shape) * std
         contrast = 1.0 + jax.random.uniform(k_contrast, per, minval=-strength, maxval=strength)
         brightness = jax.random.uniform(k_bright, per, minval=-strength, maxval=strength)
-        return jnp.clip(noisy * contrast + brightness, 0.0, 1.0)
+        # contrast pivots about mid-gray so it is decoupled from brightness
+        # (scaling about 0 on mostly-white line images would just be a second
+        # brightness shift)
+        return jnp.clip((noisy - 0.5) * contrast + 0.5 + brightness, 0.0, 1.0)
 
     def _apply(self, params, model_state, images, rng, train: bool, target=None):
         variables = {"params": params, **model_state}

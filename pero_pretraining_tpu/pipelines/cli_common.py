@@ -53,13 +53,16 @@ def add_optimizer_arguments(parser) -> None:
     parser.add_argument("--min-lr-fraction", type=float, default=0.0,
                         help="Cosine floor as a fraction of --learning-rate.")
     parser.add_argument("--weight-decay", type=float, default=0.0,
-                        help="AdamW decoupled weight decay (0 = plain Adam).")
+                        help="AdamW decoupled weight decay on matrix-shaped params only (biases/norm "
+                             "scales excluded; 0 = plain Adam). Coupled to the LR, so it scales with "
+                             "--backbone-lr-scale for the backbone group.")
     parser.add_argument("--grad-clip", type=float, default=0.0,
                         help="Global-norm gradient clipping (0 = off).")
     parser.add_argument("--backbone-lr-scale", type=float, default=1.0,
                         help="LR multiplier for the 'backbone' params (fine-tuning: protect pretrained features).")
     parser.add_argument("--skip-nonfinite", type=int, default=0,
-                        help="Skip updates with non-finite grads, tolerating up to N consecutive (0 = off).")
+                        help="Skip (zero) updates with non-finite grads — params are never poisoned — "
+                             "and abort loudly after N consecutive skipped steps (0 = off).")
 
 
 def optimizer_config_kwargs(args) -> dict:

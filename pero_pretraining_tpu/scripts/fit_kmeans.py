@@ -33,6 +33,12 @@ def parse_arguments():
     parser.add_argument("--backend", default="jax", choices=["jax", "sklearn"])
     parser.add_argument("--init", default="auto", choices=["auto", "parallel", "++"],
                         help="jax backend seeding: k-means|| (parallel, O(rounds) device calls) or sequential k-means++.")
+    parser.add_argument("--n-init", type=int, default=3,
+                        help="jax backend: independent full restarts, best final inertia wins "
+                             "(escapes merged-cluster local optima; 1 = fastest).")
+    parser.add_argument("--polish-iters", type=int, default=8,
+                        help="jax backend: final full-batch Lloyd iterations converging the "
+                             "minibatch solution to its local optimum.")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output", required=True)
     return parser.parse_args()
@@ -44,7 +50,8 @@ def load_features(path: str) -> np.ndarray:
     return np.asarray(load_pickle(path))
 
 
-def fit(features: np.ndarray, k: int, batch_size: int, epochs: int, backend: str, seed: int, init: str = "auto"):
+def fit(features: np.ndarray, k: int, batch_size: int, epochs: int, backend: str, seed: int, init: str = "auto",
+        n_init: int = 3, polish_iters: int = 8):
     if backend == "sklearn":
         from sklearn.cluster import MiniBatchKMeans
 
@@ -58,7 +65,8 @@ def fit(features: np.ndarray, k: int, batch_size: int, epochs: int, backend: str
 
     from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
 
-    return fit_minibatch_kmeans(features, k, batch_size=batch_size, epochs=epochs, seed=seed, verbose=True, init=init)
+    return fit_minibatch_kmeans(features, k, batch_size=batch_size, epochs=epochs, seed=seed, verbose=True, init=init,
+                                n_init=n_init, polish_iters=polish_iters)
 
 
 def main():
@@ -67,7 +75,8 @@ def main():
     features = load_features(args.dataset)
     print(f"Loaded '{args.dataset}' ({features.shape})")
 
-    centers, inertia = fit(features, args.k, args.batch_size, args.iters, args.backend, args.seed, args.init)
+    centers, inertia = fit(features, args.k, args.batch_size, args.iters, args.backend, args.seed, args.init,
+                           args.n_init, args.polish_iters)
     print(f"Inertia: {inertia}")
 
     if args.output.endswith(".npy"):

@@ -48,7 +48,13 @@ def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransform
 
     def make(lr_schedule):
         if getattr(config, "weight_decay", 0.0) > 0:
-            return optax.adamw(learning_rate=lr_schedule, weight_decay=config.weight_decay)
+            # decay only matrix-shaped params: biases and LayerNorm/BatchNorm
+            # scales (ndim < 2) are excluded, the standard AdamW practice.
+            # NOTE optax.adamw couples decay to the learning rate, so with
+            # backbone_lr_scale != 1 the backbone group's decay scales by the
+            # same factor.
+            mask = lambda params: jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
+            return optax.adamw(learning_rate=lr_schedule, weight_decay=config.weight_decay, mask=mask)
         return optax.adam(learning_rate=lr_schedule)
 
     scale = getattr(config, "backbone_lr_scale", 1.0)
@@ -70,8 +76,11 @@ def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransform
     skip = getattr(config, "skip_nonfinite", 0)
     if skip and skip > 0:
         # skip (zero) the update on non-finite grads instead of poisoning the
-        # params; errors after `skip` CONSECUTIVE bad steps
-        opt = optax.apply_if_finite(opt, max_consecutive_errors=skip)
+        # params. max_consecutive_errors is effectively infinite so
+        # apply_if_finite can never "give up and accept" a non-finite update;
+        # the Trainer itself raises once `skip` CONSECUTIVE steps were skipped
+        # (checked at every view step and at the end of fit()).
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=2**31 - 1)
     return opt
 
 
@@ -90,6 +99,7 @@ class Trainer:
 
         self.schedule = build_schedule(config)
         self.tx = build_optimizer(config, self.schedule)
+        self._nonfinite_limit = int(getattr(config, "skip_nonfinite", 0) or 0)
 
         donate = (0,) if config.donate_state else ()
         self._train_step = jax.jit(self._step, donate_argnums=donate)
@@ -159,6 +169,10 @@ class Trainer:
         rng = state.step_rng()
         grads, new_model_state, metrics = self._grads(state, batch, rng)
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        if self._nonfinite_limit:
+            # consecutive skipped (non-finite) updates; surfaced so fit() can
+            # abort loudly instead of silently training in place
+            metrics["notfinite_count"] = new_opt_state.notfinite_count
         new_params = optax.apply_updates(state.params, updates)
         # optional task hook (e.g. BYOL momentum-target EMA) — runs inside the
         # jitted step with the POST-optimizer params
@@ -212,6 +226,20 @@ class Trainer:
 
     def current_lr(self, state: TrainState) -> float:
         return float(self.schedule(state.step))
+
+    def _check_nonfinite(self, count) -> None:
+        """Abort once `skip_nonfinite` CONSECUTIVE updates were skipped for
+        non-finite grads. The skipped updates were zeros (params intact) —
+        raising here turns silent in-place spinning into a loud failure."""
+        if not self._nonfinite_limit or count is None:
+            return
+        count = int(count)
+        if count >= self._nonfinite_limit:
+            raise RuntimeError(
+                f"{count} consecutive non-finite gradient steps "
+                f"(--skip-nonfinite limit {self._nonfinite_limit}); the skipped updates were "
+                "zeroed so params are intact — halting instead of training in place"
+            )
 
     # ------------------------------------------------------------------- loop
     def fit(
@@ -282,15 +310,20 @@ class Trainer:
                     print(f"profiler trace saved to {profile_dir}")
                     trace_until = None
 
-                if view and iteration % view == 0 and self.on_view_step is not None:
-                    # sync once per view step only
-                    metrics = {key: float(v) for key, v in metrics.items()}
-                    elapsed = time.time() - t0
-                    self.on_view_step(iteration, state, elapsed, count, metrics)
-                    t0 = time.time()
-                    count = 0
+                if view and iteration % view == 0:
+                    if self._nonfinite_limit and "notfinite_count" in metrics:
+                        self._check_nonfinite(metrics["notfinite_count"])
+                    if self.on_view_step is not None:
+                        # sync once per view step only
+                        metrics = {key: float(v) for key, v in metrics.items()}
+                        elapsed = time.time() - t0
+                        self.on_view_step(iteration, state, elapsed, count, metrics)
+                        t0 = time.time()
+                        count = 0
         finally:
             if trace_until is not None:  # loop exited mid-trace
                 jax.profiler.stop_trace()
 
+        if self._nonfinite_limit:
+            self._check_nonfinite(getattr(state.opt_state, "notfinite_count", None))
         return state

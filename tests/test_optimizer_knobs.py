@@ -49,6 +49,65 @@ def test_training_with_all_knobs_decreases_loss(rng):
     assert trainer.current_lr(state) < KNOBS.learning_rate
 
 
+def test_weight_decay_skips_biases_and_norm_scales():
+    """AdamW decay applies to matrix-shaped params only (ndim >= 2)."""
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.training.schedules import build_schedule
+    from pero_pretraining_tpu.training.trainer import build_optimizer
+
+    cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0, weight_decay=0.1)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    params = {"w": jnp.ones((2, 2)), "b": jnp.ones((2,))}
+    opt_state = tx.init(params)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, opt_state, params)
+    assert np.all(np.asarray(updates["w"]) < 0), "weights must be decayed toward zero"
+    np.testing.assert_array_equal(np.asarray(updates["b"]), 0.0)
+
+
+def test_nonfinite_updates_never_applied():
+    """apply_if_finite must keep skipping PAST the configured limit (the limit
+    triggers a loud Trainer abort, never acceptance of a poisoned update)."""
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.training.schedules import build_schedule
+    from pero_pretraining_tpu.training.trainer import build_optimizer
+
+    cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0, skip_nonfinite=3)
+    tx = build_optimizer(cfg, build_schedule(cfg))
+    params = {"w": jnp.ones((2, 2))}
+    opt_state = tx.init(params)
+    bad_grads = {"w": jnp.full((2, 2), jnp.nan)}
+    for i in range(5):  # two MORE than the limit
+        updates, opt_state = tx.update(bad_grads, opt_state, params)
+        np.testing.assert_array_equal(np.asarray(updates["w"]), 0.0)
+        assert int(opt_state.notfinite_count) == i + 1
+
+
+def test_fit_raises_after_consecutive_nonfinite_steps(rng):
+    import jax.numpy as jnp
+    import pytest
+
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_iterations=0, end_iteration=10, masking_prob=0.3, seed=0, skip_nonfinite=2
+    )
+    task = MaskedTask(BACKBONE, HEAD, cfg)
+    orig_loss = task.loss_fn
+
+    def nan_loss(params, model_state, batch, step_rng, train):
+        loss, aux = orig_loss(params, model_state, batch, step_rng, train)
+        return loss * jnp.nan, aux
+
+    task.loss_fn = nan_loss
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer = Trainer(task, cfg, mesh=mesh)
+    batch = synthetic_masked_batch(rng, batch_size=4, width=256, num_labels=50)
+    state = trainer.init_state(batch)
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer.fit(state, [batch], end_iteration=6, view_step=2)
+
+
 def test_chained_opt_state_checkpoint_roundtrip(rng, tmp_path):
     trainer, batch = _setup(rng)
     state = trainer.init_state(batch)

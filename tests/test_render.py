@@ -38,6 +38,27 @@ def test_render_line_max_width_crop():
     assert img.shape[1] <= 256
 
 
+def test_find_fonts_excludes_nonprose_variants():
+    for path in find_fonts():
+        base = path.rsplit("/", 1)[-1]
+        assert "Display" not in base and "Math" not in base
+
+
+def test_sample_fitting_never_cropped():
+    """fit-text sampling guarantees the rendered line fits max_width, so the
+    stored transcription matches the visible pixels (no CTC label noise)."""
+    from pero_pretraining_tpu.data.render import sample_fitting
+
+    fonts = find_fonts()
+    rng = np.random.RandomState(11)
+    for _ in range(50):
+        text, font_path, size = sample_fitting(rng, fonts, max_width=384)
+        img = render_line(text, rng, fonts, max_width=384, font_path=font_path, size=size)
+        assert img.shape[1] <= 384
+        # un-cropped: the right edge is pure margin/paper (no ink columns lost)
+        assert img[:, -1].min() > 100
+
+
 def test_sample_text_charset_closure():
     charset = set(corpus_charset())
     rng = np.random.RandomState(3)

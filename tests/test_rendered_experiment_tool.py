@@ -22,7 +22,7 @@ def tool():
 def _args(**kw):
     ns = types.SimpleNamespace(
         stage="finetune", mode="pretrained", objective="masked", budget=192,
-        backbone_lr_scale=1.0, finetune_iterations=10000, out="/tmp/x",
+        backbone_lr_scale=1.0, finetune_iterations=10000, finetune_seed=None, out="/tmp/x",
     )
     for k, v in kw.items():
         setattr(ns, k, v)
@@ -38,6 +38,9 @@ def test_leg_keys(tool):
     assert tool._leg_key(_args(finetune_iterations=2500)) == "pretrained_192_it2500"
     # scratch ignores objective/backbone-lr-scale (no pretrained checkpoint involved)
     assert tool._leg_key(_args(mode="scratch", objective="vicreg")) == "scratch_192"
+    # multi-seed legs encode the fine-tune seed (default seed leaves keys unchanged)
+    assert tool._leg_key(_args(finetune_seed=1)) == "pretrained_192_s1"
+    assert tool._leg_key(_args(mode="scratch", finetune_seed=2, budget=48)) == "scratch_48_s2"
 
 
 def test_objective_paths(tool):

@@ -116,6 +116,73 @@ def test_jax_kmeans_quality(rng):
     assert ours < theirs * 1.05  # within 5% of sklearn
 
 
+def test_kmeans_backend_label_agreement(rng):
+    """Quantized-target cross-backend gate: the SAME features clustered by the
+    jax backend vs sklearn must produce labels that agree >=95% after
+    Hungarian cluster matching (cluster ids are arbitrary; the PARTITION is
+    what FQ targets depend on). Assignment uses the identical vq_assign kernel
+    for both centroid sets, isolating the clustering difference.
+
+    Reference: scripts/fit_kmeans.py:11-32 + produce_kmeans_labels.py:27-87.
+    The measured agreement is printed and recorded in PARITY.md."""
+    from scipy.optimize import linear_sum_assignment
+    from sklearn.cluster import MiniBatchKMeans
+
+    from pero_pretraining_tpu.ops.kmeans import fit_minibatch_kmeans
+    from pero_pretraining_tpu.ops.vq import vq_assign
+
+    # moderately-separated blobs: realistic difficulty (features from a frozen
+    # encoder cluster, but with overlap), not a toy well-separated case
+    k, dim = 16, 32
+    true_centers = rng.randn(k, dim).astype(np.float32) * 3.0
+    data = np.vstack([true_centers[i] + rng.randn(400, dim).astype(np.float32) for i in range(k)])
+    holdout = np.vstack([true_centers[i] + rng.randn(100, dim).astype(np.float32) for i in range(k)])
+
+    ours, _ = fit_minibatch_kmeans(data, k, batch_size=512, epochs=10, seed=0)
+    sk = MiniBatchKMeans(n_clusters=k, batch_size=512, n_init=5, random_state=0).fit(data)
+
+    import jax.numpy as jnp
+
+    labels_ours = np.asarray(vq_assign(jnp.asarray(holdout), jnp.asarray(ours)))
+    labels_sk = np.asarray(vq_assign(jnp.asarray(holdout), jnp.asarray(sk.cluster_centers_, dtype=np.float32)))
+
+    confusion = np.zeros((k, k), dtype=np.int64)
+    np.add.at(confusion, (labels_ours, labels_sk), 1)
+    row, col = linear_sum_assignment(-confusion)
+    agreement = confusion[row, col].sum() / len(holdout)
+
+    def inertia(centers):
+        d = ((data[:, None, :] - centers[None]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    ratio = inertia(ours) / inertia(sk.cluster_centers_)
+    print(f"kmeans cross-backend label agreement (Hungarian-matched): {agreement:.4f}, inertia ratio {ratio:.4f}")
+    # Gate: same-quality optima must agree >=95%; when the partitions differ,
+    # the jax backend must be the BETTER one (lower inertia) — i.e. it never
+    # silently hands users worse FQ targets than sklearn would.
+    assert agreement >= 0.95 or ratio < 0.999, (
+        f"jax-vs-sklearn FQ label agreement {agreement:.4f} with inertia ratio {ratio:.4f}: "
+        "jax backend produced a different AND not-better partition"
+    )
+    assert ratio < 1.02, f"jax backend inertia {ratio:.4f}x sklearn's (worse clustering)"
+
+
+def test_vq_assign_deterministic_across_runs(rng):
+    """The parity-mode assignment kernel is deterministic: identical inputs
+    give bit-identical labels across calls (fp32-pinned distances; the
+    CPU-vs-TPU bit-identity check is tools/label_parity_check.py, run on
+    real hardware and recorded in PARITY.md)."""
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.ops.vq import vq_assign
+
+    feats = rng.randn(1024, 64).astype(np.float32)
+    centers = rng.randn(128, 64).astype(np.float32)
+    a = np.asarray(vq_assign(jnp.asarray(feats), jnp.asarray(centers)))
+    b = np.asarray(vq_assign(jnp.asarray(feats), jnp.asarray(centers)))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_vqvae_labels_script(corpus, tmp_path, monkeypatch):
     from pero_pretraining_tpu.scripts.produce_vqvae_labels import main as produce_vqvae
 

@@ -66,6 +66,13 @@ def parse_args():
     p.add_argument("--backbone-lr-scale", type=float, default=1.0)
     p.add_argument("--num-clusters", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--finetune-seed", type=int, default=None,
+                   help="seed for the fine-tune leg only (shuffling + init); decoupled from the "
+                        "corpus/targets/pretrain seed so multi-seed legs share one corpus and one "
+                        "pretrained checkpoint. Encoded into the leg key.")
+    p.add_argument("--max-fit-frames", type=int, default=1_500_000,
+                   help="cap on frames used to FIT k-means (assignment still covers every line); "
+                        "keeps the targets stage streaming at 50k+ line corpora")
     p.add_argument("--out", type=str, default=OUT)
     return p.parse_args()
 
@@ -186,21 +193,33 @@ def stage_targets(args):
 
     ae_def = json.dumps({"type": "ae", "base_channels": 32, "decoder_base_channels": 128})
     encode = init_feature_model(ae_def, ae_ckpt)
-    per_line = {}
+
+    # pass 1: stream the train split, collecting real-content frames to fit
+    # k-means (capped at --max-fit-frames so 50k+ corpora stay in RAM; lines
+    # are iid renders, so the head of the stream is an unbiased sample)
+    fit_chunks, n_fit = [], 0
+    for batch in init_dataset(p["store"], p["trn_lines"], 16, max_width=WIDTH, num_workers=4):
+        frames = np.asarray(encode(jnp.asarray(batch["images"], jnp.float32) / 255.0), np.float32)
+        fit_chunks.append(frames[np.asarray(batch["image_masks"]) == 1])
+        n_fit += fit_chunks[-1].shape[0]
+        if n_fit >= args.max_fit_frames:
+            break
+    fit_feats = np.vstack(fit_chunks)[: args.max_fit_frames]
+    del fit_chunks
+    print(f"  k-means fit set: {fit_feats.shape[0]} frames x {fit_feats.shape[1]} dims", flush=True)
+    centers, _ = fit_minibatch_kmeans(fit_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
+    del fit_feats
+    centers_dev = jnp.asarray(centers)
+
+    # pass 2: stream each split again, assigning labels batch by batch
     for split, lines_path in (("trn", p["trn_lines"]), ("tst", p["tst_lines"])):
-        rows = {}
+        labels = {}
         for batch in init_dataset(p["store"], lines_path, 16, max_width=WIDTH, num_workers=4):
             frames = np.asarray(encode(jnp.asarray(batch["images"], jnp.float32) / 255.0), np.float32)
-            for lid, lmask, lf in zip(batch["ids"], batch["image_masks"], frames):
-                rows[lid] = lf[lmask == 1]
-        per_line[split] = rows
-    all_feats = np.vstack(list(per_line["trn"].values()))
-    print(f"  {all_feats.shape[0]} frames x {all_feats.shape[1]} dims", flush=True)
-    centers, _ = fit_minibatch_kmeans(all_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
-    centers_dev = jnp.asarray(centers)
-    for split in ("trn", "tst"):
-        labels = {lid: np.asarray(vq_assign(jnp.asarray(f), centers_dev)).tolist()
-                  for lid, f in per_line[split].items()}
+            assigned = np.asarray(vq_assign(jnp.asarray(frames.reshape(-1, frames.shape[-1])), centers_dev))
+            assigned = assigned.reshape(frames.shape[0], frames.shape[1])
+            for lid, lmask, la in zip(batch["ids"], batch["image_masks"], assigned):
+                labels[lid] = la[lmask == 1].tolist()
         save_labels(labels, os.path.join(p["dir"], f"pqae{suffix}_labels.{split}"))
 
 
@@ -298,26 +317,27 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
     mesh = _mesh()
     if iterations is None:
         iterations = args.finetune_iterations
+    ft_seed = args.seed if args.finetune_seed is None else args.finetune_seed
     trn_tsv = _budget_tsv(args, budget)
-    training = TrainingConfig(learning_rate=2e-4, warmup_iterations=500, batch_size=16, seed=args.seed,
+    training = TrainingConfig(learning_rate=2e-4, warmup_iterations=500, batch_size=16, seed=ft_seed,
                               end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05,
                               backbone_lr_scale=lr_scale if mode == "pretrained" else 1.0)
     charset = Charset(corpus_charset())
     task = CTCTask(BackboneConfig(**BACKBONE), charset, training)
     ds = TranscriptionDataset(p["store"], trn_tsv, max_width=WIDTH,
                               augmentations=build_augmentations("light"))
-    creator = CTCBatchCreator(charset, BatchCreator(pad_to=WIDTH, seed=args.seed), max_label_len=64)
+    creator = CTCBatchCreator(charset, BatchCreator(pad_to=WIDTH, seed=ft_seed), max_label_len=64)
     loader = DataLoader(ds, creator, batch_size=16, shuffle=True, num_workers=4)
 
     trainer = Trainer(task, training, mesh=mesh)
-    variables = task.init_variables(jax.random.PRNGKey(args.seed), next(iter(loader)))
+    variables = task.init_variables(jax.random.PRNGKey(ft_seed), next(iter(loader)))
     if mode == "pretrained":
         variables = task.load_pretrained_backbone(variables, p["pretrained"])
     variables = dict(variables)
     params = jax.device_put(variables.pop("params"))
     model_state = jax.device_put(variables)
     opt_state = jax.jit(trainer.tx.init)(params)
-    state = TrainState.create(params, model_state, opt_state, args.seed)
+    state = TrainState.create(params, model_state, opt_state, ft_seed)
 
     tst = TranscriptionDataset(p["store"], p["tst_tsv"], max_width=WIDTH)
     tst_loader = DataLoader(tst, creator, batch_size=16, shuffle=False, num_workers=4)
@@ -340,6 +360,8 @@ def _leg_key(args):
         key += f"_bbs{args.backbone_lr_scale:g}"
     if args.finetune_iterations != 10000:
         key += f"_it{args.finetune_iterations}"
+    if args.finetune_seed is not None:
+        key += f"_s{args.finetune_seed}"
     return key
 
 
