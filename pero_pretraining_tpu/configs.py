@@ -188,9 +188,13 @@ class TrainingConfig:
     # LR multiplier for params under the top-level 'backbone' subtree
     # (fine-tuning: protect pretrained features while the fresh head adapts)
     backbone_lr_scale: float = 1.0
-    # N > 0: skip optimizer updates when grads are non-finite, tolerating up
-    # to N consecutive bad steps (optax.apply_if_finite); 0 = off
+    # N > 0: skip (zero) optimizer updates when grads are non-finite; the
+    # Trainer aborts loudly after N consecutive skipped steps; 0 = off
     skip_nonfinite: int = 0
+    # Adam moment storage: "float32" (default) or "bfloat16" (halves the
+    # optimizer-state HBM traffic — the fused Adam update is 34.5% of the
+    # flagship step at HBM roofline; see docs/PROFILE.md)
+    moments_dtype: str = "float32"
     start_iteration: int = 0
     end_iteration: int = 100000
     view_step: int = 500

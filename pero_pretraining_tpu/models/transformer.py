@@ -47,8 +47,15 @@ class SelfAttention(nn.Module):
         n, s, d = x.shape
         head_dim = self.model_dim // self.num_heads
         qkv = nn.Dense(3 * self.model_dim, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(n, s, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # split on the MINOR dim at 128-aligned boundaries, then reshape each
+        # block to heads: bit-identical to reshape(n,s,3,h,hd)+middle-dim
+        # slicing, but the slices are clean layout tiles — the 5-D middle-dim
+        # form cost ~460 us/step of physical transpose copies on the flagship
+        # trace (docs/flagship_trace_components.json)
+        q, k, v = (
+            qkv[..., i * self.model_dim : (i + 1) * self.model_dim].reshape(n, s, self.num_heads, head_dim)
+            for i in range(3)
+        )
         y = multi_head_attention(q, k, v, impl=self.impl)
         y = y.reshape(n, s, self.model_dim)
         return nn.Dense(self.model_dim, name="out", dtype=self.dtype)(y)

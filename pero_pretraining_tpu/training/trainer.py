@@ -40,6 +40,41 @@ from pero_pretraining_tpu.training.schedules import build_schedule
 from pero_pretraining_tpu.training.state import TrainState
 
 
+def scale_by_adam_lowmem(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, moments_dtype=jnp.bfloat16
+) -> optax.GradientTransformation:
+    """Adam moment tracking with LOW-PRECISION moment STORAGE (compute stays
+    fp32). The flagship trace (docs/flagship_trace_components.json) shows the
+    fused Adam update at 34.5% of the step running exactly at HBM roofline —
+    the only lever is moving fewer bytes, and m/v are half the optimizer
+    state. Numerics: bf16 moments carry ~8 mantissa bits; update direction
+    error is O(0.4%) — opt-in via --moments-dtype bfloat16."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=moments_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        f32 = lambda x: x.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * f32(m) + (1 - b1) * f32(g), state.mu, grads)
+        nu = jax.tree_util.tree_map(lambda v, g: b2 * f32(v) + (1 - b2) * jnp.square(f32(g)), state.nu, grads)
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree_util.tree_map(
+            lambda m, v, g: ((m / c1) / (jnp.sqrt(v / c2) + eps)).astype(g.dtype), mu, nu, grads
+        )
+        cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(moments_dtype), t)
+        return updates, optax.ScaleByAdamState(count=count, mu=cast(mu), nu=cast(nu))
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransformation:
     """Optimizer from TrainingConfig: Adam (the reference optimizer,
     masked_pretraining/train.py:146) or AdamW when weight_decay > 0, with
@@ -47,14 +82,22 @@ def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransform
     pretrained 'backbone' subtree (fine-tuning)."""
 
     def make(lr_schedule):
-        if getattr(config, "weight_decay", 0.0) > 0:
-            # decay only matrix-shaped params: biases and LayerNorm/BatchNorm
-            # scales (ndim < 2) are excluded, the standard AdamW practice.
-            # NOTE optax.adamw couples decay to the learning rate, so with
-            # backbone_lr_scale != 1 the backbone group's decay scales by the
-            # same factor.
-            mask = lambda params: jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
-            return optax.adamw(learning_rate=lr_schedule, weight_decay=config.weight_decay, mask=mask)
+        moments = getattr(config, "moments_dtype", "float32")
+        wd = getattr(config, "weight_decay", 0.0)
+        # decay only matrix-shaped params: biases and LayerNorm/BatchNorm
+        # scales (ndim < 2) are excluded, the standard AdamW practice.
+        # NOTE decoupled decay is coupled to the learning rate, so with
+        # backbone_lr_scale != 1 the backbone group's decay scales by the
+        # same factor.
+        mask = lambda params: jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
+        if moments == "bfloat16":
+            parts = [scale_by_adam_lowmem()]
+            if wd > 0:
+                parts.append(optax.add_decayed_weights(wd, mask=mask))
+            parts.append(optax.scale_by_learning_rate(lr_schedule))
+            return optax.chain(*parts)
+        if wd > 0:
+            return optax.adamw(learning_rate=lr_schedule, weight_decay=wd, mask=mask)
         return optax.adam(learning_rate=lr_schedule)
 
     scale = getattr(config, "backbone_lr_scale", 1.0)

@@ -108,6 +108,35 @@ def test_fit_raises_after_consecutive_nonfinite_steps(rng):
         trainer.fit(state, [batch], end_iteration=6, view_step=2)
 
 
+def test_bf16_moments_trains_and_stores_halved_state(rng):
+    """--moments-dtype bfloat16: Adam moments stored in bf16 (half the
+    optimizer-state HBM traffic), compute in fp32; training still converges."""
+    import jax.numpy as jnp
+
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_iterations=5, end_iteration=100, masking_prob=0.3, seed=0,
+        moments_dtype="bfloat16",
+    )
+    task = MaskedTask(BACKBONE, HEAD, cfg)
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer = Trainer(task, cfg, mesh=mesh)
+    batch = synthetic_masked_batch(rng, batch_size=4, width=256, num_labels=50)
+    state = trainer.init_state(batch)
+
+    adam_states = [s for s in jax.tree_util.tree_leaves_with_path(state.opt_state)]
+    moment_leaves = [leaf for path, leaf in adam_states if any("mu" in str(p) or "nu" in str(p) for p in path)]
+    assert moment_leaves, "expected mu/nu moment leaves in the opt state"
+    assert all(leaf.dtype == jnp.bfloat16 for leaf in moment_leaves)
+
+    first = last = None
+    for _ in range(30):
+        state, metrics = trainer.train_step(state, batch)
+        loss = float(metrics["loss"])
+        first = loss if first is None else first
+        last = loss
+    assert last < first
+
+
 def test_chained_opt_state_checkpoint_roundtrip(rng, tmp_path):
     trainer, batch = _setup(rng)
     state = trainer.init_state(batch)

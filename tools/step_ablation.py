@@ -25,7 +25,7 @@ WIDTH = 2048
 NUM_LABELS = 4096
 
 
-def build(attention_impl="xla", remat=False, fused_ce=False, grad_accum=1, bfloat16=True):
+def build(attention_impl="xla", remat=False, fused_ce=False, grad_accum=1, bfloat16=True, moments_dtype="float32"):
     import jax
 
     from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
@@ -37,7 +37,8 @@ def build(attention_impl="xla", remat=False, fused_ce=False, grad_accum=1, bfloa
     task = MaskedTask(
         BackboneConfig(type="vit", remat=remat),
         HeadConfig(out_features=NUM_LABELS),
-        TrainingConfig(masking_prob=0.15, bfloat16=bfloat16, fused_ce=fused_ce, grad_accum=grad_accum),
+        TrainingConfig(masking_prob=0.15, bfloat16=bfloat16, fused_ce=fused_ce, grad_accum=grad_accum,
+                       moments_dtype=moments_dtype),
         attention_impl=attention_impl,
     )
     mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
@@ -74,7 +75,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=24, help="optimizer steps fused per timed program")
     p.add_argument("--trials", type=int, default=3)
-    p.add_argument("--variants", default="base,flash,remat,fused_ce,fp32")
+    p.add_argument("--variants", default="base,flash,remat,fused_ce,fp32,bf16_moments")
     args = p.parse_args()
     wanted = set(args.variants.split(","))
 
@@ -88,6 +89,8 @@ def main():
         time_variant("fused-ce", args.steps, args.trials, fused_ce=True)
     if "fp32" in wanted:
         time_variant("fp32", args.steps, args.trials, bfloat16=False)
+    if "bf16_moments" in wanted:
+        time_variant("bf16-moments", args.steps, args.trials, moments_dtype="bfloat16")
     return 0
 
 
