@@ -18,7 +18,7 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-from rendered_experiment import BACKBONE, WIDTH  # noqa: E402
+from tools.rendered_experiment import BACKBONE, WIDTH  # noqa: E402
 
 
 def main():
