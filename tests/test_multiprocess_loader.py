@@ -104,6 +104,54 @@ def test_multiprocess_worker_error_propagates(corpus):
         mp_loader.close()
 
 
+@pytest.mark.skipif(os.cpu_count() < 4, reason="throughput scaling needs >=4 cores")
+def test_multiprocess_throughput_scales(tmp_path, rng):
+    """4 loader processes must beat 1 on decode-bound work by >=1.6x.
+
+    Skipped on this 1-core CI host (where only order-correctness is provable);
+    the assertion becomes load-bearing the moment a multi-core host runs the
+    suite. JPEG decode dominates per-item cost, so the workload parallelizes."""
+    import time
+
+    store_path = str(tmp_path / "images.sqlite")
+    lines_path = str(tmp_path / "lines.txt")
+    store = SqliteStore(store_path, readonly=False)
+    with open(lines_path, "w") as f:
+        for i in range(96):
+            img = rng.randint(0, 256, size=(40, 1600, 3)).astype(np.uint8)
+            image_id = f"line_{i:03d}.jpg"
+            store.put(image_id, encode_image(img, ".jpg"))
+            f.write(f"{image_id} {' '.join(map(str, rng.randint(0, 100, size=200).tolist()))}\n")
+    store.commit()
+    store.close()
+    spec = {
+        "data_config": dataclasses.asdict(
+            DataConfig(
+                lmdb_path=store_path, trn_path=lines_path, tst_path=lines_path,
+                batch_size=8, max_width=2048, num_workers=0, seed=5, shuffle=True,
+            )
+        ),
+        "pair_images": False,
+    }
+
+    def rate(num_procs):
+        loader = MultiProcessLoader(spec, num_procs=num_procs)
+        try:
+            n, t0 = 0, None
+            for _ in range(3):  # 3 epochs; first batches amortize spawn cost
+                for _ in loader:
+                    if t0 is None:
+                        t0 = time.perf_counter()  # clock from first batch
+                    else:
+                        n += 1
+            return n / (time.perf_counter() - t0)
+        finally:
+            loader.close()
+
+    r1, r4 = rate(1), rate(4)
+    assert r4 / r1 >= 1.6, f"4-proc rate {r4:.1f} b/s vs 1-proc {r1:.1f} b/s"
+
+
 def test_multiprocess_bucketed_matches_stream(corpus):
     """--loader-procs composes with --buckets: workers shard the bucketed
     plan and the parent's order equals the single-process stream()."""
