@@ -253,10 +253,15 @@ def main():
     # headline: best sustainable rate — single-step when dispatch is healthy,
     # scan-fused when per-step dispatch latency spikes (both compute-bound)
     headline = max(fused, resident)
-    if host_rate >= resident and real_e2e < 0.9 * resident:
+    if real_e2e < 0.7 * min(host_rate, resident):
+        # e2e falls well below BOTH the host pipeline alone and the chip:
+        # the per-step H2D transfer is the limiter
         bottleneck = "device transfers (tunneled H2D on this environment; GB/s on production hosts)"
     elif host_rate < resident:
-        bottleneck = f"host pipeline (decode+collate at {host_rate:.0f} lines/s on this {os.cpu_count()}-core host)"
+        bottleneck = (
+            f"host pipeline (decode+collate at {host_rate:.0f} lines/s on this "
+            f"{os.cpu_count()}-core host; scales with cores via --loader-procs)"
+        )
     else:
         bottleneck = "none (host keeps up with the chip)"
     with open(DETAILS_PATH, "w") as f:

@@ -195,6 +195,12 @@ class TrainingConfig:
     # optimizer-state HBM traffic — the fused Adam update is 34.5% of the
     # flagship step at HBM roofline; see docs/PROFILE.md)
     moments_dtype: str = "float32"
+    # ZeRO-1: partition optimizer state (Adam moments) over the `data` mesh
+    # axis — GSPMD reduce-scatters grads into the update and all-gathers the
+    # param deltas; per-chip optimizer HBM traffic divides by the data size
+    # (the fused Adam update runs at HBM roofline, docs/PROFILE.md). No effect
+    # on a 1-device data axis.
+    shard_opt_state: bool = False
     start_iteration: int = 0
     end_iteration: int = 100000
     view_step: int = 500

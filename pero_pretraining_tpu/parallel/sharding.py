@@ -82,6 +82,55 @@ def param_shardings(params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DE
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
 
+def zero1_opt_state_shardings(
+    opt_state: Any, params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES
+):
+    """ZeRO-1: NamedSharding tree partitioning optimizer state over `data`.
+
+    The flagship trace (docs/PROFILE.md) shows the fused Adam update running at
+    the HBM roofline at ~1/3 of the step; on a data-parallel mesh that traffic
+    is redundant — every chip streams identical moment tensors. Sharding the
+    moments over `data` divides it by the mesh size: GSPMD then reduce-scatters
+    the gradients into the update (instead of all-reducing), runs the
+    elementwise Adam math on 1/data_size of the elements per chip, and
+    all-gathers the param updates — the standard ZeRO-1 recipe, expressed
+    purely as sharding annotations (no hand-written collectives; the reference
+    has no distributed support at all, SURVEY.md §2.7).
+
+    Spec choice per leaf: start from the tensor-parallel spec its same-shaped
+    param uses (so `model`-sharded dims stay put and no cross-axis reshard is
+    induced), then place `data` on the largest free dim divisible by the data
+    axis size. Scalars (step counts) and indivisible leaves stay replicated.
+    Leaves are matched to params by shape — path-matching is impractical
+    across optax wrapper states (chain/multi_transform/apply_if_finite), and
+    same-shape params share rule-derived specs in practice; ambiguous shapes
+    fall back to a replicated base spec, which is always valid."""
+    data_size = mesh.shape[DATA_AXIS]
+
+    specs_by_shape: dict = {}
+
+    def collect(path, leaf):
+        spec = _spec_for(_path_str(path), getattr(leaf, "ndim", 0), rules)
+        specs_by_shape.setdefault(tuple(leaf.shape), set()).add(tuple(spec))
+
+    jax.tree_util.tree_map_with_path(collect, params)
+
+    def leaf_sharding(leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        ndim = len(shape)
+        if ndim == 0 or data_size <= 1:
+            return NamedSharding(mesh, P())
+        seen = specs_by_shape.get(shape)
+        base = list(next(iter(seen))) if seen and len(seen) == 1 else []
+        base = base + [None] * (ndim - len(base))
+        free = [i for i in range(ndim) if base[i] is None and shape[i] % data_size == 0 and shape[i] >= data_size]
+        if free:
+            base[max(free, key=lambda i: shape[i])] = DATA_AXIS
+        return NamedSharding(mesh, P(*base))
+
+    return jax.tree_util.tree_map(leaf_sharding, opt_state)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batches shard their leading dim over `data`."""
     return NamedSharding(mesh, P(DATA_AXIS))

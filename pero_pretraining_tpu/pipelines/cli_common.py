@@ -67,6 +67,11 @@ def add_optimizer_arguments(parser) -> None:
                         help="Adam moment storage dtype. bfloat16 halves optimizer-state HBM traffic "
                              "(the fused Adam update runs at HBM roofline, ~1/3 of the flagship step); "
                              "compute stays fp32.")
+    parser.add_argument("--shard-opt-state", action="store_true",
+                        help="ZeRO-1: partition optimizer state over the data mesh axis "
+                             "(reduce-scatter grads into the Adam update, all-gather param deltas); "
+                             "per-chip optimizer HBM traffic divides by the data size. "
+                             "No effect on a 1-device data axis.")
 
 
 def optimizer_config_kwargs(args) -> dict:
@@ -78,6 +83,7 @@ def optimizer_config_kwargs(args) -> dict:
         backbone_lr_scale=args.backbone_lr_scale,
         skip_nonfinite=args.skip_nonfinite,
         moments_dtype=args.moments_dtype,
+        shard_opt_state=args.shard_opt_state,
     )
 
 
@@ -236,6 +242,6 @@ def maybe_resume(trainer, state, training_config: TrainingConfig):
     resume (SURVEY.md §5)."""
     if training_config.start_iteration > 0 and training_config.checkpoints_dir:
         path = get_checkpoint_path(training_config.checkpoints_dir, training_config.start_iteration)
-        state = load_checkpoint(state, path)
+        state = trainer.place_state(load_checkpoint(state, path))
         print(f"Resumed from {path} at step {int(state.step)}")
     return state

@@ -35,6 +35,7 @@ from pero_pretraining_tpu.parallel.sharding import (
     replicated,
     shard_batch,
     shard_batch_leading,
+    zero1_opt_state_shardings,
 )
 from pero_pretraining_tpu.training.schedules import build_schedule
 from pero_pretraining_tpu.training.state import TrainState
@@ -143,6 +144,9 @@ class Trainer:
         self.schedule = build_schedule(config)
         self.tx = build_optimizer(config, self.schedule)
         self._nonfinite_limit = int(getattr(config, "skip_nonfinite", 0) or 0)
+        # ZeRO-1 optimizer-state shardings; computed in init_state/place_state
+        # (needs the concrete opt-state tree), read at train-step trace time
+        self._opt_shardings = None
 
         donate = (0,) if config.donate_state else ()
         self._train_step = jax.jit(self._step, donate_argnums=donate)
@@ -162,8 +166,27 @@ class Trainer:
         params = jax.device_put(params, shardings)
         model_state = jax.device_put(model_state, replicated(self.mesh))
         opt_state = jax.jit(self.tx.init)(params)
+        if getattr(self.config, "shard_opt_state", False):
+            self._opt_shardings = zero1_opt_state_shardings(opt_state, params, self.mesh)
+            opt_state = jax.device_put(opt_state, self._opt_shardings)
 
         return TrainState.create(params, model_state, opt_state, self.config.seed)
+
+    def place_state(self, state: TrainState) -> TrainState:
+        """(Re-)place a host-resident state (e.g. just loaded from a
+        checkpoint) with this trainer's shardings, so resumed runs keep the
+        tensor-parallel param layout and the ZeRO-1 optimizer partitioning."""
+        params = jax.device_put(state.params, param_shardings(state.params, self.mesh))
+        if getattr(self.config, "shard_opt_state", False):
+            self._opt_shardings = zero1_opt_state_shardings(state.opt_state, params, self.mesh)
+            opt_state = jax.device_put(state.opt_state, self._opt_shardings)
+        else:
+            opt_state = jax.device_put(state.opt_state, replicated(self.mesh))
+        return state.replace(
+            params=params,
+            model_state=jax.device_put(state.model_state, replicated(self.mesh)),
+            opt_state=opt_state,
+        )
 
     # ------------------------------------------------------------- train step
     def _grads(self, state: TrainState, batch: Any, rng):
@@ -212,6 +235,11 @@ class Trainer:
         rng = state.step_rng()
         grads, new_model_state, metrics = self._grads(state, batch, rng)
         updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        if self._opt_shardings is not None:
+            # pin the ZeRO-1 layout: grads reduce-scatter into the moment
+            # update, the elementwise Adam math runs 1/data_size per chip,
+            # and only `updates` is all-gathered back to the param layout
+            new_opt_state = jax.lax.with_sharding_constraint(new_opt_state, self._opt_shardings)
         if self._nonfinite_limit:
             # consecutive skipped (non-finite) updates; surfaced so fit() can
             # abort loudly instead of silently training in place

@@ -63,6 +63,7 @@ def test_train_masked_cli(tiny_corpus, tmp_path, monkeypatch):
             "--visualizations", vis,
             "--metrics-log", log,
             "--num-workers", "2",
+            "--shard-opt-state",
         ],
         monkeypatch,
     )
