@@ -70,16 +70,19 @@ def test_optimizer_knobs_grad_clip_and_weight_decay():
 
     cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0, weight_decay=0.5)
     tx = build_optimizer(cfg, build_schedule(cfg))
-    state = tx.init(params)
-    zeros = {"w": jnp.zeros((4,))}
-    updates, _ = tx.update(zeros, state, params)
-    # with zero grads AdamW still shrinks params: update = -lr * wd * w
-    np.testing.assert_allclose(np.asarray(updates["w"]), -0.05, rtol=1e-5)
+    decay_params = {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((4,))}
+    state = tx.init(decay_params)
+    zeros = {"kernel": jnp.zeros((2, 2)), "bias": jnp.zeros((4,))}
+    updates, _ = tx.update(zeros, state, decay_params)
+    # with zero grads AdamW still shrinks MATRIX params: update = -lr * wd * w;
+    # biases/norm scales (ndim < 2) are excluded from decay (standard practice)
+    np.testing.assert_allclose(np.asarray(updates["kernel"]), -0.05, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(updates["bias"]), 0.0, atol=1e-8)
 
     cfg = TrainingConfig(learning_rate=0.1, warmup_iterations=0)
     tx = build_optimizer(cfg, build_schedule(cfg))
-    updates, _ = tx.update(zeros, tx.init(params), params)
-    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-8)  # plain Adam: no decay
+    updates, _ = tx.update(zeros, tx.init(decay_params), decay_params)
+    np.testing.assert_allclose(np.asarray(updates["kernel"]), 0.0, atol=1e-8)  # plain Adam: no decay
 
 
 def test_skip_nonfinite_guard():
