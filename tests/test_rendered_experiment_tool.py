@@ -58,3 +58,29 @@ def test_update_summary_appends(tool, tmp_path):
     with open(path) as f:
         data = json.load(f)
     assert data == {"a": {"cer": 0.5}, "b": {"cer": 0.4}}
+
+
+def test_summarize_parse_and_aggregate():
+    """tools/summarize_rendered.py groups legs by (mode, budget) over seeds."""
+    spec = importlib.util.spec_from_file_location(
+        "summarize_rendered", os.path.join(os.path.dirname(_TOOL), "summarize_rendered.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    summary = {
+        "config": {"anything": 1},
+        "scratch_192_s0": {"cer": 0.30},
+        "scratch_192_s1": {"cer": 0.34},
+        "pretrained_masked_dn_192_s0": {"cer": 0.20},
+        "pretrained_masked_dn_192_it20000_s1": {"cer": 0.22},
+        "pretrained_masked_dn_192_s0_beam_lm": {"cer": 0.18},
+        "pretrained_192_bbs0.1": {"cer": 0.9},  # bbs ablation rows are excluded
+    }
+    legs = mod.parse(summary)
+    assert sorted(legs[("scratch", 192)]) == [(0, 0.30), (1, 0.34)]
+    assert sorted(legs[("pretrained_masked_dn", 192)]) == [(0, 0.20), (1, 0.22)]
+    assert legs[("pretrained_masked_dn +beam+LM", 192)] == [(0, 0.18)]
+    assert not any("bbs" in m for m, _ in legs)
+    assert mod.fmt([(0, 0.30), (1, 0.34)]) == "0.3200 ± 0.0200"
+    assert mod.fmt([(0, 0.25)]) == "0.2500"

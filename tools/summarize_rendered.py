@@ -1,0 +1,75 @@
+"""Aggregate a rendered-experiment summary across fine-tune seeds.
+
+Reads a rendered_summary.json produced by tools/rendered_experiment.py legs
+(keys like ``scratch_192_it10000_s0``, ``pretrained_masked_dn_4000_it20000_s1``,
+``..._beam_lm``) and prints a markdown table of CER per (mode, budget) with
+mean +/- half-spread over seeds, plus the pretraining delta per budget.
+
+Usage: python tools/summarize_rendered.py docs/demo/rendered50k/rendered_summary.json
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import defaultdict
+
+KEY_RE = re.compile(
+    r"^(?P<mode>scratch|pretrained(?:_[a-z_]+?)?)_(?P<budget>\d+)"
+    r"(?:_bbs(?P<bbs>[\d.]+))?(?:_it(?P<iters>\d+))?(?:_s(?P<seed>\d+))?"
+    r"(?P<beam>_beam_lm)?$"
+)
+
+
+def parse(summary: dict):
+    legs = defaultdict(list)  # (mode, budget, beam) -> [(seed, cer)]
+    for key, value in summary.items():
+        if key == "config" or not isinstance(value, dict) or "cer" not in value:
+            continue
+        m = KEY_RE.match(key)
+        if not m or m.group("bbs"):
+            continue
+        seed = int(m.group("seed") or 0)
+        mode = m.group("mode") + (" +beam+LM" if m.group("beam") else "")
+        legs[(mode, int(m.group("budget")))].append((seed, float(value["cer"])))
+    return legs
+
+
+def fmt(cers):
+    vals = [c for _, c in sorted(cers)]
+    if len(vals) == 1:
+        return f"{vals[0]:.4f}"
+    mean = sum(vals) / len(vals)
+    spread = (max(vals) - min(vals)) / 2
+    return f"{mean:.4f} ± {spread:.4f}"
+
+
+def main(path: str):
+    with open(path) as f:
+        summary = json.load(f)
+    legs = parse(summary)
+    budgets = sorted({b for _, b in legs})
+    modes = sorted({m for m, _ in legs}, key=lambda m: (not m.startswith("scratch"), m))
+
+    header = "| initialization | " + " | ".join(f"@{b} lines" for b in budgets) + " |"
+    print(header)
+    print("|" + "---|" * (len(budgets) + 1))
+    for mode in modes:
+        cells = [fmt(legs[(mode, b)]) if (mode, b) in legs else "—" for b in budgets]
+        print(f"| {mode} | " + " | ".join(cells) + " |")
+
+    # pretraining delta (greedy legs only), if both modes present
+    for b in budgets:
+        sk = next((k for k in legs if k[1] == b and k[0] == "scratch"), None)
+        pk = next((k for k in legs if k[1] == b and k[0].startswith("pretrained") and "beam" not in k[0]), None)
+        if sk and pk:
+            s = [c for _, c in legs[sk]]
+            p = [c for _, c in legs[pk]]
+            delta = sum(s) / len(s) - sum(p) / len(p)
+            noise = (max(s) - min(s)) / 2 + (max(p) - min(p)) / 2
+            print(f"@{b}: pretraining delta {delta:+.4f} CER (seed half-spread sum {noise:.4f})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "docs/demo/rendered50k/rendered_summary.json")
