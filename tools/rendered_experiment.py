@@ -73,6 +73,13 @@ def parse_args():
     p.add_argument("--max-fit-frames", type=int, default=1_500_000,
                    help="cap on frames used to FIT k-means (assignment still covers every line); "
                         "keeps the targets stage streaming at 50k+ line corpora")
+    p.add_argument("--unmasked-weight", type=float, default=0.1,
+                   help="auxiliary CE weight on UNMASKED real positions during masked pretraining "
+                        "(the reference's --unmasked-weight, masked_pretraining/train.py:38). Dense "
+                        "supervision removes the ~18k-iteration loss plateau the mask-only objective "
+                        "shows on this corpus (docs/RENDERED_EXPERIMENT.md); 0 disables.")
+    p.add_argument("--pretrain-warmup", type=int, default=1000,
+                   help="LR warmup iterations for the pretrain stage")
     p.add_argument("--out", type=str, default=OUT)
     return p.parse_args()
 
@@ -209,6 +216,8 @@ def stage_targets(args):
     print(f"  k-means fit set: {fit_feats.shape[0]} frames x {fit_feats.shape[1]} dims", flush=True)
     centers, _ = fit_minibatch_kmeans(fit_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
     del fit_feats
+    # persist the centers: labels stay re-derivable (and diagnosable) later
+    np.save(os.path.join(p["dir"], f"pqae{suffix}_centers.npy"), centers)
     centers_dev = jnp.asarray(centers)
 
     # pass 2: stream each split again, assigning labels batch by batch
@@ -241,8 +250,9 @@ def stage_pretrain(args):
     suffix = "_dn" if args.objective == "masked_dn" else ""
     print(f"pretrain: masked ViT on PQ-AE{suffix} labels", flush=True)
     backbone_cfg = BackboneConfig(**BACKBONE)
-    m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16,
-                                masking_prob=0.3, seed=args.seed)
+    m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=args.pretrain_warmup, batch_size=16,
+                                masking_prob=0.3, seed=args.seed,
+                                unmasked_weight=args.unmasked_weight if args.unmasked_weight > 0 else None)
     m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=BACKBONE["model_dim"], out_features=args.num_clusters),
                         m_training)
     m_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"pqae{suffix}_labels.trn"), max_width=WIDTH)
