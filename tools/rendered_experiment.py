@@ -137,9 +137,18 @@ def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
     trainer = Trainer(task, task.training_config, mesh=mesh)
     state = trainer.init_state(next(iter(loader)))
 
+    # live train-loss heartbeat so multi-hour stages are observable (a
+    # stalled-plateau run should be visible long before its final eval)
+    def on_view(iteration, _state, elapsed, count, metrics):
+        loss = metrics.get("loss")
+        loss_s = f"{float(loss):.4f}" if loss is not None else "-"
+        print(f"  {log_name} it {iteration}: loss {loss_s} ({count / max(elapsed, 1e-9):.1f} it/s)",
+              flush=True)
+
+    trainer.on_view_step = on_view
     t0 = time.time()
     state = trainer.fit(state, _stream(loader), start_iteration=0, end_iteration=iterations,
-                        view_step=0, steps_per_call=steps_per_call)
+                        view_step=max(iterations // 12, 500), steps_per_call=steps_per_call)
     print(f"  {log_name}: {iterations} iters in {time.time() - t0:.1f}s", flush=True)
     return trainer, state
 
