@@ -29,13 +29,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def capture(steps: int, outdir: str) -> float:
+def capture(steps: int, outdir: str, backbone: str = "vit") -> float:
     import jax
 
     from step_ablation import build
     from pero_pretraining_tpu.parallel.sharding import shard_batch_leading
 
-    trainer, batches, mesh = build()
+    trainer, batches, mesh = build(backbone_type=backbone)
     state = trainer.init_state(batches[0])
     stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *(batches * (steps // 4)))
     sdev = shard_batch_leading(stacked, mesh)
@@ -115,9 +115,11 @@ def main():
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--outdir", default="/tmp/flagship_trace")
     p.add_argument("--report", default="docs/flagship_trace_ops.json")
+    p.add_argument("--backbone", default="vit", choices=("vit", "vggt"),
+                   help="vggt traces the VGG-conv-frontend hybrid (same b16 w2048 workload)")
     args = p.parse_args()
 
-    wall_ms = capture(args.steps, args.outdir)
+    wall_ms = capture(args.steps, args.outdir, backbone=args.backbone)
     print(f"wall: {wall_ms:.3f} ms/step (scan-fused K={args.steps})")
     trace_path = find_trace_file(args.outdir)
     if trace_path is None:

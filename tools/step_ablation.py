@@ -25,7 +25,8 @@ WIDTH = 2048
 NUM_LABELS = 4096
 
 
-def build(attention_impl="xla", remat=False, fused_ce=False, grad_accum=1, bfloat16=True, moments_dtype="float32"):
+def build(attention_impl="xla", remat=False, fused_ce=False, grad_accum=1, bfloat16=True, moments_dtype="float32",
+          backbone_type="vit"):
     import jax
 
     from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
@@ -35,7 +36,7 @@ def build(attention_impl="xla", remat=False, fused_ce=False, grad_accum=1, bfloa
     from pero_pretraining_tpu.training.trainer import Trainer
 
     task = MaskedTask(
-        BackboneConfig(type="vit", remat=remat),
+        BackboneConfig(type=backbone_type, remat=remat),
         HeadConfig(out_features=NUM_LABELS),
         TrainingConfig(masking_prob=0.15, bfloat16=bfloat16, fused_ce=fused_ce, grad_accum=grad_accum,
                        moments_dtype=moments_dtype),
