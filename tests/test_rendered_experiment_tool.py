@@ -21,7 +21,7 @@ def tool():
 
 def _args(**kw):
     ns = types.SimpleNamespace(
-        stage="finetune", mode="pretrained", objective="masked", budget=192,
+        stage="finetune", mode="pretrained", objective="masked", budget=192, backbone="vit",
         backbone_lr_scale=1.0, finetune_iterations=10000, finetune_seed=None, out="/tmp/x",
     )
     for k, v in kw.items():
@@ -41,12 +41,18 @@ def test_leg_keys(tool):
     # multi-seed legs encode the fine-tune seed (default seed leaves keys unchanged)
     assert tool._leg_key(_args(finetune_seed=1)) == "pretrained_192_s1"
     assert tool._leg_key(_args(mode="scratch", finetune_seed=2, budget=48)) == "scratch_48_s2"
+    # non-default backbones are tagged in keys for BOTH modes
+    assert tool._leg_key(_args(backbone="vggt", objective="masked_dn")) == "pretrained_masked_dn_vggt_192"
+    assert tool._leg_key(_args(backbone="vggt", mode="scratch")) == "scratch_vggt_192"
 
 
 def test_objective_paths(tool):
     assert tool._paths(_args())["pretrained"].endswith("pretrained.msgpack")
     assert tool._paths(_args(objective="masked_dn"))["pretrained"].endswith("pretrained_masked_dn.msgpack")
     assert tool._paths(_args(objective="vicreg"))["pretrained"].endswith("pretrained_vicreg.msgpack")
+    assert tool._paths(_args(objective="masked_dn", backbone="vggt"))["pretrained"].endswith(
+        "pretrained_masked_dn_vggt.msgpack")
+    assert tool._backbone_dict(_args(backbone="vggt"))["type"] == "vggt"
 
 
 def test_update_summary_appends(tool, tmp_path):
@@ -76,8 +82,12 @@ def test_summarize_parse_and_aggregate():
         "pretrained_masked_dn_192_it20000_s1": {"cer": 0.22},
         "pretrained_masked_dn_192_s0_beam_lm": {"cer": 0.18},
         "pretrained_192_bbs0.1": {"cer": 0.9},  # bbs ablation rows are excluded
+        "scratch_vggt_192_s0": {"cer": 0.33},
+        "pretrained_masked_dn_vggt_192_s0": {"cer": 0.21},
     }
     legs = mod.parse(summary)
+    assert legs[("scratch_vggt", 192)] == [(0, 0.33)]
+    assert legs[("pretrained_masked_dn_vggt", 192)] == [(0, 0.21)]
     assert sorted(legs[("scratch", 192)]) == [(0, 0.30), (1, 0.34)]
     assert sorted(legs[("pretrained_masked_dn", 192)]) == [(0, 0.20), (1, 0.22)]
     assert legs[("pretrained_masked_dn +beam+LM", 192)] == [(0, 0.18)]

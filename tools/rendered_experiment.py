@@ -46,6 +46,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs", "demo")
 WIDTH = 512
 BACKBONE = dict(type="vit", model_dim=256, num_heads=4, num_blocks=4, feedforward_dim=1024, max_len=128)
+# Small configurable-VGG hybrid (channels 32/64/128 + aggregation), the
+# study-scale analogue of the reference's VggTransformerEncoder
+VGGT_BACKBONE = dict(type="vggt", model_dim=256, num_heads=4, num_blocks=4, feedforward_dim=1024,
+                     max_len=128, use_pero_vgg=False, num_conv_blocks=3, base_channels=32)
+
+
+def _backbone_dict(args):
+    return VGGT_BACKBONE if getattr(args, "backbone", "vit") == "vggt" else BACKBONE
+
+
+def _bb_tag(args):
+    """Artifact/leg-key token for non-default backbones ('' for the ViT)."""
+    bb = getattr(args, "backbone", "vit")
+    return "" if bb == "vit" else f"_{bb}"
 
 
 def parse_args():
@@ -63,6 +77,9 @@ def parse_args():
     p.add_argument("--ae-iterations", type=int, default=1500)
     p.add_argument("--pretrain-iterations", type=int, default=12000)
     p.add_argument("--finetune-iterations", type=int, default=10000)
+    p.add_argument("--backbone", default="vit", choices=("vit", "vggt"),
+                   help="encoder family: vit (single-matmul patchify) or vggt (VGG conv frontend); "
+                        "vggt suffixes the pretrained checkpoint and leg keys with _vggt")
     p.add_argument("--backbone-lr-scale", type=float, default=1.0)
     p.add_argument("--num-clusters", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
@@ -98,8 +115,8 @@ def _paths(args):
         "tst_lines": os.path.join(d, "tst.lines"),
         "tst_tsv": os.path.join(d, "tst.tsv"),
         "ae_ckpt": os.path.join(d, "ae.msgpack"),
-        "pretrained": os.path.join(d, "pretrained.msgpack" if args.objective == "masked"
-                                   else f"pretrained_{args.objective}.msgpack"),
+        "pretrained": os.path.join(
+            d, f"pretrained{'' if args.objective == 'masked' else '_' + args.objective}{_bb_tag(args)}.msgpack"),
         "summary": os.path.join(args.out, "rendered_summary.json"),
     }
 
@@ -257,12 +274,13 @@ def stage_pretrain(args):
     if args.objective in ("vicreg", "ntxent"):
         return _pretrain_joint(args, p, mesh, args.objective)
     suffix = "_dn" if args.objective == "masked_dn" else ""
-    print(f"pretrain: masked ViT on PQ-AE{suffix} labels", flush=True)
-    backbone_cfg = BackboneConfig(**BACKBONE)
+    bb = _backbone_dict(args)
+    print(f"pretrain: masked {bb['type']} on PQ-AE{suffix} labels", flush=True)
+    backbone_cfg = BackboneConfig(**bb)
     m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=args.pretrain_warmup, batch_size=16,
                                 masking_prob=0.3, seed=args.seed,
                                 unmasked_weight=args.unmasked_weight if args.unmasked_weight > 0 else None)
-    m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=BACKBONE["model_dim"], out_features=args.num_clusters),
+    m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=bb["model_dim"], out_features=args.num_clusters),
                         m_training)
     m_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"pqae{suffix}_labels.trn"), max_width=WIDTH)
     m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
@@ -275,7 +293,7 @@ def stage_pretrain(args):
                             shuffle=False, num_workers=4)
     m_result = Tester(m_task, tst_loader).test(m_state)
     print(f"  masked tst: loss {m_result['loss']:.4f}, top-1 err {m_result['errors_1']:.3f}", flush=True)
-    _update_summary(p["summary"], f"masked{suffix}_test", m_result)
+    _update_summary(p["summary"], f"masked{suffix}{_bb_tag(args)}_test", m_result)
     vis = MaskedVisualizer(m_task, tst_loader, show_masked_images=True)
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
 
@@ -292,8 +310,9 @@ def _pretrain_joint(args, p, mesh, loss_type):
     from pero_pretraining_tpu.training.checkpoint import save_checkpoint
 
     print(f"pretrain: {loss_type} joint embedding (paired augmented views)", flush=True)
-    backbone_cfg = BackboneConfig(**BACKBONE)
-    head_cfg = HeadConfig(type="mlp", in_features=BACKBONE["model_dim"], out_features=1024,
+    bb = _backbone_dict(args)
+    backbone_cfg = BackboneConfig(**bb)
+    head_cfg = HeadConfig(type="mlp", in_features=bb["model_dim"], out_features=1024,
                           hidden_dim=1024, num_layers=3)
     training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=args.seed)
     task = JointEmbeddingTask(backbone_cfg, head_cfg, training, loss_type=loss_type)
@@ -342,7 +361,7 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
                               end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05,
                               backbone_lr_scale=lr_scale if mode == "pretrained" else 1.0)
     charset = Charset(corpus_charset())
-    task = CTCTask(BackboneConfig(**BACKBONE), charset, training)
+    task = CTCTask(BackboneConfig(**_backbone_dict(args)), charset, training)
     ds = TranscriptionDataset(p["store"], trn_tsv, max_width=WIDTH,
                               augmentations=build_augmentations("light"))
     creator = CTCBatchCreator(charset, BatchCreator(pad_to=WIDTH, seed=ft_seed), max_label_len=64)
@@ -372,9 +391,8 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
 
 
 def _leg_key(args):
-    key = f"{args.mode}_{args.budget}"
-    if args.mode == "pretrained" and args.objective != "masked":
-        key = f"pretrained_{args.objective}_{args.budget}"
+    obj = "" if (args.mode == "scratch" or args.objective == "masked") else f"_{args.objective}"
+    key = f"{args.mode}{obj}{_bb_tag(args)}_{args.budget}"
     if args.mode == "pretrained" and args.backbone_lr_scale != 1.0:
         key += f"_bbs{args.backbone_lr_scale:g}"
     if args.finetune_iterations != 10000:

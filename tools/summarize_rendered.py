@@ -16,7 +16,7 @@ import sys
 from collections import defaultdict
 
 KEY_RE = re.compile(
-    r"^(?P<mode>scratch|pretrained(?:_[a-z_]+?)?)_(?P<budget>\d+)"
+    r"^(?P<mode>(?:scratch|pretrained)(?:_[a-z_]+?)?)_(?P<budget>\d+)"
     r"(?:_bbs(?P<bbs>[\d.]+))?(?:_it(?P<iters>\d+))?(?:_s(?P<seed>\d+))?"
     r"(?P<beam>_beam_lm)?$"
 )
@@ -59,16 +59,20 @@ def main(path: str):
         cells = [fmt(legs[(mode, b)]) if (mode, b) in legs else "—" for b in budgets]
         print(f"| {mode} | " + " | ".join(cells) + " |")
 
-    # pretraining delta (greedy legs only), if both modes present
-    for b in budgets:
-        sk = next((k for k in legs if k[1] == b and k[0] == "scratch"), None)
-        pk = next((k for k in legs if k[1] == b and k[0].startswith("pretrained") and "beam" not in k[0]), None)
-        if sk and pk:
-            s = [c for _, c in legs[sk]]
-            p = [c for _, c in legs[pk]]
-            delta = sum(s) / len(s) - sum(p) / len(p)
-            noise = (max(s) - min(s)) / 2 + (max(p) - min(p)) / 2
-            print(f"@{b}: pretraining delta {delta:+.4f} CER (seed half-spread sum {noise:.4f})")
+    # pretraining delta (greedy legs only): each pretrained mode vs the
+    # scratch leg of the SAME backbone family (scratch vs scratch_vggt, ...)
+    for mode, b in sorted(legs, key=lambda k: (k[1], k[0])):
+        if not mode.startswith("pretrained") or "beam" in mode:
+            continue
+        tag = next((f"_{t}" for t in ("vggt",) if mode.endswith(f"_{t}")), "")
+        sk = (f"scratch{tag}", b)
+        if sk not in legs:
+            continue
+        s = [c for _, c in legs[sk]]
+        p = [c for _, c in legs[(mode, b)]]
+        delta = sum(s) / len(s) - sum(p) / len(p)
+        noise = (max(s) - min(s)) / 2 + (max(p) - min(p)) / 2
+        print(f"@{b}{tag}: pretraining delta {delta:+.4f} CER (seed half-spread sum {noise:.4f})")
 
 
 if __name__ == "__main__":
