@@ -129,10 +129,13 @@ class AutoencoderConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh. `data` carries batch parallelism (gradient psum over ICI),
-    `model` carries tensor parallelism (attention heads / FFN hidden)."""
+    `model` carries tensor parallelism (attention heads / FFN hidden), `seq`
+    carries sequence (context) parallelism: activations shard over the frame
+    axis and attention runs as a shard_map ring (parallel/ring.py)."""
 
-    data: int = -1  # -1: use all devices not claimed by `model`
+    data: int = -1  # -1: use all devices not claimed by `model` and `seq`
     model: int = 1
+    seq: int = 1
 
 
 @dataclass(frozen=True)

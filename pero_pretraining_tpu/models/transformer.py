@@ -24,6 +24,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from pero_pretraining_tpu.configs import BackboneConfig
 from pero_pretraining_tpu.models.positional import PositionalEncoding
@@ -35,12 +36,15 @@ from pero_pretraining_tpu.ops.patchify import patchify
 
 class SelfAttention(nn.Module):
     """Fused-qkv self-attention, head dim sharded over the `model` mesh axis
-    (parallel/sharding.py rules match the `qkv`/`out` names)."""
+    (parallel/sharding.py rules match the `qkv`/`out` names). With
+    impl="ring" the frame axis shards over the mesh's `seq` axis and KV
+    blocks rotate via ppermute (parallel/ring.py)."""
 
     model_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -56,7 +60,7 @@ class SelfAttention(nn.Module):
             qkv[..., i * self.model_dim : (i + 1) * self.model_dim].reshape(n, s, self.num_heads, head_dim)
             for i in range(3)
         )
-        y = multi_head_attention(q, k, v, impl=self.impl)
+        y = multi_head_attention(q, k, v, impl=self.impl, mesh=self.mesh)
         y = y.reshape(n, s, self.model_dim)
         return nn.Dense(self.model_dim, name="out", dtype=self.dtype)(y)
 
@@ -89,11 +93,17 @@ class EncoderBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    mesh: Optional[Mesh] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = SelfAttention(
-            self.model_dim, self.num_heads, dtype=self.dtype, impl=self.attention_impl, name="attention"
+            self.model_dim,
+            self.num_heads,
+            dtype=self.dtype,
+            impl=self.attention_impl,
+            mesh=self.mesh,
+            name="attention",
         )(x)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -115,6 +125,7 @@ class TransformerBackbone(nn.Module):
     config: BackboneConfig
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
+    mesh: Optional[Mesh] = None
 
     def frontend(self, x: jax.Array, *, train: bool) -> jax.Array:
         raise NotImplementedError
@@ -139,6 +150,7 @@ class TransformerBackbone(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(x)
         x = PositionalEncoding(cfg.model_dim, cfg.max_len, cfg.random_shift, name="positions")(x, train=train)
+        x = self._seq_constraint(x)
         # optional rematerialization: recompute block activations in backward
         # instead of keeping them in HBM (jax.checkpoint via nn.remat)
         block_cls = nn.remat(EncoderBlock, static_argnums=(2,)) if cfg.remat else EncoderBlock
@@ -150,9 +162,23 @@ class TransformerBackbone(nn.Module):
                 cfg.dropout,
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
+                mesh=self.mesh,
                 name=f"block{i}",
             )(x, train)
         return x
+
+    def _seq_constraint(self, x: jax.Array) -> jax.Array:
+        """Pin activations to (data, seq, replicated) sharding when a `seq`
+        axis is active, so the pointwise LN/MLP/head work shards over frames
+        (GSPMD propagates it through the block stack)."""
+        if self.mesh is None:
+            return x
+        from pero_pretraining_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+        if self.mesh.shape.get(SEQ_AXIS, 1) <= 1:
+            return x
+        spec = PartitionSpec(DATA_AXIS, SEQ_AXIS, None)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
 
 
 class VisionTransformerEncoder(TransformerBackbone):
@@ -199,9 +225,11 @@ class VggTransformerEncoder(TransformerBackbone):
         return x.squeeze(axis=1)  # (N, 1, S, D) -> (N, S, D)
 
 
-def build_backbone(config: BackboneConfig, *, dtype=jnp.float32, attention_impl: str = "xla") -> TransformerBackbone:
+def build_backbone(
+    config: BackboneConfig, *, dtype=jnp.float32, attention_impl: str = "xla", mesh: Optional[Mesh] = None
+) -> TransformerBackbone:
     if config.type == "vit":
-        return VisionTransformerEncoder(config, dtype=dtype, attention_impl=attention_impl)
+        return VisionTransformerEncoder(config, dtype=dtype, attention_impl=attention_impl, mesh=mesh)
     if config.type == "vggt":
-        return VggTransformerEncoder(config, dtype=dtype, attention_impl=attention_impl)
+        return VggTransformerEncoder(config, dtype=dtype, attention_impl=attention_impl, mesh=mesh)
     raise ValueError(f"Unknown backbone type: {config.type}")

@@ -22,12 +22,22 @@ def multi_head_attention(
     v: jax.Array,
     *,
     impl: str = "xla",
+    mesh=None,
 ) -> jax.Array:
-    """q, k, v: (N, S, num_heads, head_dim) -> (N, S, num_heads, head_dim)."""
+    """q, k, v: (N, S, num_heads, head_dim) -> (N, S, num_heads, head_dim).
+
+    impl="ring" is sequence-parallel ring attention over the mesh's `seq`
+    axis (parallel/ring.py); requires the mesh."""
     if impl == "flash":
         from pero_pretraining_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
+    if impl == "ring":
+        from pero_pretraining_tpu.parallel.ring import ring_attention
+
+        if mesh is None:
+            raise ValueError("attention impl='ring' requires the device mesh")
+        return ring_attention(q, k, v, mesh=mesh)
 
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=q.dtype))

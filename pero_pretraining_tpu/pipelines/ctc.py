@@ -30,9 +30,12 @@ class CTCModel(nn.Module):
     num_classes: int  # charset size incl. blank
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    mesh: Any = None
 
     def setup(self):
-        self.backbone = build_backbone(self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl)
+        self.backbone = build_backbone(
+            self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl, mesh=self.mesh
+        )
         self.head = nn.Dense(self.num_classes, name="ctc_head", dtype=self.dtype)
 
     def __call__(self, images, *, train: bool = False):
@@ -47,12 +50,15 @@ class CTCTask:
         charset: Charset,
         training_config: TrainingConfig,
         attention_impl: str = "xla",
+        mesh=None,
     ):
         self.backbone_config = backbone_config
         self.charset = charset
         self.training_config = training_config
         dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
-        self.model = CTCModel(backbone_config, num_classes=len(charset), dtype=dtype, attention_impl=attention_impl)
+        self.model = CTCModel(
+            backbone_config, num_classes=len(charset), dtype=dtype, attention_impl=attention_impl, mesh=mesh
+        )
 
     # Trainer protocol -------------------------------------------------------
     def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):

@@ -66,7 +66,9 @@ def parse_arguments():
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--mesh-data", type=int, default=-1)
     parser.add_argument("--mesh-model", type=int, default=1)
-    parser.add_argument("--attention-impl", choices=("xla", "flash"), default="xla",
+    parser.add_argument("--mesh-seq", type=int, default=1,
+                        help="Sequence-parallel mesh axis (ring attention; use with --attention-impl ring).")
+    parser.add_argument("--attention-impl", choices=("xla", "flash", "ring"), default="xla",
                         help="Attention kernel: XLA fused (default) or Pallas flash (long sequences).")
     parser.add_argument("--decoder", choices=("greedy", "beam"), default="greedy",
                         help="CER decoder: greedy argmax or prefix beam search (+ optional LM fusion).")
@@ -121,10 +123,10 @@ def main():
     trn_loader = DataLoader(trn_dataset, creator, batch_size=args.batch_size, shuffle=True, num_workers=args.num_workers, seed=args.seed)
     tst_loader = DataLoader(tst_dataset, creator, batch_size=args.batch_size, shuffle=False, num_workers=args.num_workers)
 
-    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model, seq=args.mesh_seq))
     print(f"Mesh: {dict(mesh.shape)}")
 
-    task = CTCTask(backbone, charset, training, attention_impl=args.attention_impl)
+    task = CTCTask(backbone, charset, training, attention_impl=args.attention_impl, mesh=mesh)
     trainer = Trainer(task, training, mesh=mesh)
 
     lm = None

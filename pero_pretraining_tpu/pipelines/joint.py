@@ -28,9 +28,12 @@ class JointEmbeddingModel(nn.Module):
     head_config: HeadConfig
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    mesh: Any = None
 
     def setup(self):
-        self.backbone = build_backbone(self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl)
+        self.backbone = build_backbone(
+            self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl, mesh=self.mesh
+        )
         self.head = build_head(self.head_config, dtype=self.dtype)
 
     def __call__(self, images1, images2, *, train: bool = False):
@@ -56,6 +59,7 @@ class JointEmbeddingTask:
         loss_type: str = "vicreg",
         attention_impl: str = "xla",
         momentum: float = 0.0,
+        mesh=None,
     ):
         """momentum > 0 enables a BYOL-style TARGET branch: view 2 is encoded
         by an EMA copy of the weights (stop-gradient), updated after each
@@ -70,7 +74,9 @@ class JointEmbeddingTask:
         self.loss_type = loss_type
         self.momentum = momentum
         dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
-        self.model = JointEmbeddingModel(backbone_config, head_config, dtype=dtype, attention_impl=attention_impl)
+        self.model = JointEmbeddingModel(
+            backbone_config, head_config, dtype=dtype, attention_impl=attention_impl, mesh=mesh
+        )
 
     def init_variables(self, rng: jax.Array, batch: Dict[str, Any]):
         init_rng, pos_rng, drop_rng = jax.random.split(rng, 3)

@@ -28,9 +28,12 @@ class MaskedPretrainingModel(nn.Module):
     head_config: HeadConfig
     dtype: Any = jnp.float32
     attention_impl: str = "xla"
+    mesh: Any = None
 
     def setup(self):
-        self.backbone = build_backbone(self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl)
+        self.backbone = build_backbone(
+            self.backbone_config, dtype=self.dtype, attention_impl=self.attention_impl, mesh=self.mesh
+        )
         self.head = build_head(self.head_config, dtype=self.dtype)
 
     def __call__(self, images, mask=None, *, train: bool = False):
@@ -47,12 +50,15 @@ class MaskedTask:
         head_config: HeadConfig,
         training_config: TrainingConfig,
         attention_impl: str = "xla",
+        mesh=None,
     ):
         self.backbone_config = backbone_config
         self.head_config = head_config
         self.training_config = training_config
         dtype = jnp.bfloat16 if training_config.bfloat16 else jnp.float32
-        self.model = MaskedPretrainingModel(backbone_config, head_config, dtype=dtype, attention_impl=attention_impl)
+        self.model = MaskedPretrainingModel(
+            backbone_config, head_config, dtype=dtype, attention_impl=attention_impl, mesh=mesh
+        )
         self.masking_prob = training_config.masking_prob
         self.masking_mode = training_config.masking_mode
         self.span_length = training_config.span_length

@@ -77,9 +77,11 @@ def parse_arguments():
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--mesh-data", type=int, default=-1)
     parser.add_argument("--mesh-model", type=int, default=1)
+    parser.add_argument("--mesh-seq", type=int, default=1,
+                        help="Sequence-parallel mesh axis (ring attention; use with --attention-impl ring).")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="Fuse N optimizer steps per device program (must divide view-step).")
-    parser.add_argument("--attention-impl", choices=("xla", "flash"), default="xla",
+    parser.add_argument("--attention-impl", choices=("xla", "flash", "ring"), default="xla",
                         help="Attention kernel: XLA fused (default) or Pallas flash (long sequences).")
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args()
@@ -134,11 +136,11 @@ def main():
         seed=args.seed,
     )
 
-    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model))
+    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model, seq=args.mesh_seq))
     print(f"Mesh: {dict(mesh.shape)}")
 
     task = JointEmbeddingTask(backbone, head, training, loss_type=args.loss_type, momentum=args.momentum,
-                              attention_impl=args.attention_impl)
+                              attention_impl=args.attention_impl, mesh=mesh)
     trn_loader, tst_loader = build_loaders(data, pair_images=True)
 
     trn_tester = Tester(task, trn_loader, max_lines=1000)

@@ -11,7 +11,7 @@ def test_mesh_rejects_bad_shapes():
     import jax
 
     n = len(jax.devices())
-    with pytest.raises(ValueError, match="does not divide"):
+    with pytest.raises(ValueError, match="not divide"):
         create_mesh(MeshConfig(data=-1, model=n + 1))
     if n > 1:
         with pytest.raises(ValueError, match="!= device count"):
