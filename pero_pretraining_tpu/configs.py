@@ -45,6 +45,13 @@ class BackboneConfig:
     base_channels: int = 64
     num_conv_blocks: int = 4
     use_pero_vgg: bool = True
+    # Mixture-of-Experts FFN (models/moe.py; 0 = dense reference FFN).
+    # Experts shard over the `expert` mesh axis (expert parallelism); the
+    # Switch load-balance aux loss is weighted by router_aux_weight.
+    num_experts: int = 0
+    expert_topk: int = 1
+    expert_capacity: float = 1.25
+    router_aux_weight: float = 0.01
 
     @classmethod
     def from_definition(cls, definition: dict) -> "BackboneConfig":
@@ -133,9 +140,12 @@ class MeshConfig:
     carries sequence (context) parallelism: activations shard over the frame
     axis and attention runs as a shard_map ring (parallel/ring.py)."""
 
-    data: int = -1  # -1: use all devices not claimed by `model` and `seq`
+    data: int = -1  # -1: use all devices not claimed by the other axes
     model: int = 1
     seq: int = 1
+    # expert parallelism for MoE FFNs (models/moe.py): stacked expert weights
+    # shard over `expert` and GSPMD inserts the token all-to-all
+    expert: int = 1
 
 
 @dataclass(frozen=True)

@@ -94,6 +94,10 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     mesh: Optional[Mesh] = None
+    # MoE FFN (models/moe.py): num_experts > 0 replaces the dense MLP
+    num_experts: int = 0
+    expert_topk: int = 1
+    expert_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -108,7 +112,21 @@ class EncoderBlock(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
-        h = Mlp(self.model_dim, self.feedforward_dim, self.dropout, dtype=self.dtype, name="mlp")(x, train=train)
+        if self.num_experts > 0:
+            from pero_pretraining_tpu.models.moe import MoEMlp
+
+            h = MoEMlp(
+                self.model_dim,
+                self.feedforward_dim,
+                self.num_experts,
+                topk=self.expert_topk,
+                capacity_factor=self.expert_capacity,
+                dtype=self.dtype,
+                mesh=self.mesh,
+                name="moe",
+            )(x, train=train)
+        else:
+            h = Mlp(self.model_dim, self.feedforward_dim, self.dropout, dtype=self.dtype, name="mlp")(x, train=train)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
@@ -163,6 +181,9 @@ class TransformerBackbone(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 mesh=self.mesh,
+                num_experts=cfg.num_experts,
+                expert_topk=cfg.expert_topk,
+                expert_capacity=cfg.expert_capacity,
                 name=f"block{i}",
             )(x, train)
         return x

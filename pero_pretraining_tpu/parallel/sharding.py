@@ -27,7 +27,7 @@ from typing import Any, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pero_pretraining_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from pero_pretraining_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 # (path regex, spec factory). Specs reference MODEL_AXIS only; DATA_AXIS is
 # used for batch sharding, params are replicated across it.
@@ -46,6 +46,13 @@ DEFAULT_RULES: Sequence[Tuple[str, P]] = (
     # large projection heads: shard the vocabulary/out dim
     (r".*head.*(linear|out_proj).*kernel", P(None, MODEL_AXIS)),
     (r".*head.*(linear|out_proj).*bias", P(MODEL_AXIS)),
+    # MoE expert weights (models/moe.py): stacked (E, D, F) / (E, F, D) —
+    # experts over `expert` (expert parallelism), hidden over `model` (TP);
+    # the router stays replicated (it is tiny and every token needs it)
+    (r".*moe.*w1", P(EXPERT_AXIS, None, MODEL_AXIS)),
+    (r".*moe.*w2", P(EXPERT_AXIS, MODEL_AXIS, None)),
+    (r".*moe.*b1", P(EXPERT_AXIS, MODEL_AXIS)),
+    (r".*moe.*b2", P(EXPERT_AXIS, None)),
     # VQ codebook: replicate (4096x512 is small; assignment is batch-sharded)
 )
 

@@ -21,6 +21,7 @@ import numpy as np
 import optax
 
 from pero_pretraining_tpu.configs import BackboneConfig, TrainingConfig
+from pero_pretraining_tpu.models.moe import pop_router_aux
 from pero_pretraining_tpu.models.transformer import build_backbone
 from pero_pretraining_tpu.utils.text import BLANK_ID, Charset, character_error_rate, collapse_ctc
 
@@ -65,7 +66,9 @@ class CTCTask:
         init_rng, pos_rng, drop_rng = jax.random.split(rng, 3)
         images = jnp.asarray(batch["images"][:1], dtype=jnp.float32) / 255.0
         init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
-        return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images)
+        variables = dict(init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images))
+        variables.pop("aux", None)  # sown router stats are per-step, not state
+        return variables
 
     def load_pretrained_backbone(self, variables, checkpoint_path: str):
         """Graft the backbone subtree from a pretraining checkpoint (masked or
@@ -97,6 +100,8 @@ class CTCTask:
             pos_rng, drop_rng = jax.random.split(rng)
             rngs = {"positions": pos_rng, "dropout": drop_rng}
         mutable = list(model_state.keys()) if train else False
+        if train and self.backbone_config.num_experts > 0:
+            mutable = list(mutable or []) + ["aux"]  # MoE load-balance loss
         if train and mutable:
             logits, new_state = self.model.apply(variables, images, train=True, rngs=rngs, mutable=mutable)
             return logits, dict(new_state)
@@ -118,7 +123,13 @@ class CTCTask:
         images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
         logits, new_model_state = self._apply(params, model_state, images, rng, train)
         loss = self._ctc_loss(logits, batch)
-        return loss, (new_model_state, {"loss": loss})
+        metrics = {"loss": loss}
+        aux = pop_router_aux(new_model_state)
+        if aux is not None:
+            loss = loss + self.backbone_config.router_aux_weight * aux
+            metrics["router_aux"] = aux
+            metrics["loss"] = loss
+        return loss, (new_model_state, metrics)
 
     # Evaluation -------------------------------------------------------------
     def _eval_logits(self, params, model_state, batch, rng):

@@ -20,6 +20,7 @@ from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingCon
 from pero_pretraining_tpu.losses.ntxent import ntxent_loss
 from pero_pretraining_tpu.losses.vicreg import vicreg_loss
 from pero_pretraining_tpu.models.heads import build_head
+from pero_pretraining_tpu.models.moe import pop_router_aux
 from pero_pretraining_tpu.models.transformer import build_backbone
 
 
@@ -84,6 +85,7 @@ class JointEmbeddingTask:
         images2 = jnp.asarray(batch["images2"][:1], dtype=jnp.float32) / 255.0
         init = jax.jit(lambda rngs, x1, x2: self.model.init(rngs, x1, x2, train=False))
         variables = dict(init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images1, images2))
+        variables.pop("aux", None)  # sown router stats are per-step, not state
         if self.momentum > 0:
             # target branch starts as an exact copy of the online weights —
             # a REAL copy: aliased buffers would be donated twice by the step
@@ -116,6 +118,8 @@ class JointEmbeddingTask:
         if self.momentum > 0 and target_params is not None:
             # online branch on view 1 (with grads), frozen EMA target on view 2
             mutable = list(collections.keys()) if train else False
+            if train and self.backbone_config.num_experts > 0:
+                mutable = list(mutable or []) + ["aux"]  # MoE load-balance loss
             if train and mutable:
                 out1, new_cols = self.model.apply(
                     variables, images1, train=True, rngs=rngs, mutable=mutable, method=self.model.encode_one
@@ -129,6 +133,8 @@ class JointEmbeddingTask:
             return out1, jax.lax.stop_gradient(out2), new_state
 
         mutable = list(collections.keys()) if train else False
+        if train and self.backbone_config.num_experts > 0:
+            mutable = list(mutable or []) + ["aux"]  # MoE load-balance loss
         if train and mutable:
             (out1, out2), new_state = self.model.apply(
                 variables, images1, images2, train=True, rngs=rngs, mutable=mutable
@@ -156,7 +162,14 @@ class JointEmbeddingTask:
         images2 = jnp.asarray(batch["images2"], dtype=jnp.float32) / 255.0
         out1, out2, new_model_state = self._apply(params, model_state, images1, images2, rng, train)
         losses = self._loss(out1, out2, batch)
-        return losses["loss"], (new_model_state, dict(losses))
+        metrics = dict(losses)
+        loss = losses["loss"]
+        aux = pop_router_aux(new_model_state)
+        if aux is not None:
+            loss = loss + self.backbone_config.router_aux_weight * aux
+            metrics["router_aux"] = aux
+            metrics["loss"] = loss
+        return loss, (new_model_state, metrics)
 
     def eval_step(self, params, model_state, batch, rng):
         images1 = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0

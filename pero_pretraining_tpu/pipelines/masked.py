@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
 from pero_pretraining_tpu.losses.masked_ce import masked_cross_entropy, masked_cross_entropy_fused
 from pero_pretraining_tpu.models.heads import build_head
+from pero_pretraining_tpu.models.moe import pop_router_aux
 from pero_pretraining_tpu.models.transformer import build_backbone
 from pero_pretraining_tpu.ops.masking import sample_patch_mask, sample_span_mask
 
@@ -74,7 +75,9 @@ class MaskedTask:
         # jit the init: eager tracing dispatches thousands of tiny ops, which
         # is pathological over a remote-device transport
         init = jax.jit(lambda rngs, x: self.model.init(rngs, x, train=False))
-        return init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images)
+        variables = dict(init({"params": init_rng, "positions": pos_rng, "dropout": drop_rng}, images))
+        variables.pop("aux", None)  # sown router stats are per-step, not state
+        return variables
 
     def _sample_mask(self, rng, labels):
         if self.masking_mode == "span":
@@ -102,6 +105,9 @@ class MaskedTask:
             pos_rng, drop_rng = jax.random.split(rng)
             rngs = {"positions": pos_rng, "dropout": drop_rng}
         mutable = [k for k in model_state.keys()] if train else False
+        if train and self.backbone_config.num_experts > 0:
+            # MoE layers sow their load-balance loss into "aux" (models/moe.py)
+            mutable = list(mutable or []) + ["aux"]
         if train and mutable:
             out, new_state = self.model.apply(
                 variables, images, mask, train=True, rngs=rngs, mutable=mutable, method=method
@@ -133,7 +139,13 @@ class MaskedTask:
             logits, new_model_state = self._apply(params, model_state, images, mask, model_rng, train)
             losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)
         metrics = {k: v for k, v in losses.items()}
-        return losses["loss"], (new_model_state, metrics)
+        loss = losses["loss"]
+        aux = pop_router_aux(new_model_state)
+        if aux is not None:
+            loss = loss + self.backbone_config.router_aux_weight * aux
+            metrics["router_aux"] = aux
+            metrics["loss"] = loss
+        return loss, (new_model_state, metrics)
 
     # Evaluation -------------------------------------------------------------
     def eval_step(self, params, model_state, batch, rng, measured_errors=(1, 3, 10)):
