@@ -52,6 +52,11 @@ class BackboneConfig:
     expert_topk: int = 1
     expert_capacity: float = 1.25
     router_aux_weight: float = 0.01
+    # stacked-blocks layout (one (L, ...) param tree instead of block0..L-1):
+    # required by pipeline parallelism, selectable alone for fast compiles;
+    # pipeline_microbatches=0 means "use the pipe axis size"
+    stacked_blocks: bool = False
+    pipeline_microbatches: int = 0
 
     @classmethod
     def from_definition(cls, definition: dict) -> "BackboneConfig":
@@ -143,6 +148,9 @@ class MeshConfig:
     data: int = -1  # -1: use all devices not claimed by the other axes
     model: int = 1
     seq: int = 1
+    # GPipe pipeline parallelism over the encoder block stack
+    # (parallel/pipeline.py): stages hold num_blocks/pipe consecutive blocks
+    pipe: int = 1
     # expert parallelism for MoE FFNs (models/moe.py): stacked expert weights
     # shard over `expert` and GSPMD inserts the token all-to-all
     expert: int = 1

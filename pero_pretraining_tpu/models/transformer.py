@@ -133,6 +133,57 @@ class EncoderBlock(nn.Module):
         return x
 
 
+class PipelinedEncoderStack(nn.Module):
+    """Encoder block stack in the STACKED layout: one (L, ...) param tree
+    ('blocks') instead of block0..blockL-1 submodules.
+
+    Required by pipeline parallelism (parallel/pipeline.py — the leading
+    layer axis shards over the `pipe` mesh axis so each chip holds L/P
+    blocks); also selectable alone (`stacked_blocks: true`) where the
+    lax.scan-over-layers execution compiles one block body instead of L.
+    Per-layer numerics are identical to the unstacked loop —
+    `parallel/pipeline.py::stack_block_params` converts checkpoints between
+    the layouts (tested in tests/test_pipeline_parallel.py).
+    """
+
+    num_blocks: int
+    model_dim: int
+    num_heads: int
+    feedforward_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "xla"
+    mesh: Optional[Mesh] = None
+    microbatches: int = 0
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from pero_pretraining_tpu.parallel.mesh import PIPE_AXIS
+        from pero_pretraining_tpu.parallel.pipeline import pipeline_apply, sequential_apply
+
+        template = EncoderBlock(
+            self.model_dim, self.num_heads, self.feedforward_dim, 0.0,
+            dtype=self.dtype, attention_impl=self.attention_impl,
+        )
+
+        def init_stacked(rng):
+            dummy = jnp.zeros((1, 8, self.model_dim), jnp.float32)
+            keys = jax.random.split(rng, self.num_blocks)
+            return jax.vmap(lambda k: template.init(k, dummy, False)["params"])(keys)
+
+        stacked = self.param("blocks", init_stacked)
+        pipe = self.mesh.shape.get(PIPE_AXIS, 1) if self.mesh is not None else 1
+        # during flax init the sample batch may be a single row (not divisible
+        # by the data axis) — params are what matters, so trace the
+        # numerics-identical sequential path instead of the shard_map loop
+        if pipe > 1 and not self.is_initializing():
+            m = self.microbatches if self.microbatches > 0 else pipe
+            return pipeline_apply(
+                template, stacked, x, mesh=self.mesh, microbatches=m, train=train, remat=self.remat
+            )
+        return sequential_apply(template, stacked, x, train, remat=self.remat)
+
+
 class TransformerBackbone(nn.Module):
     """Shared backbone: frontend -> pre-LN -> pos-enc -> encoder blocks.
 
@@ -169,6 +220,32 @@ class TransformerBackbone(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="pre_norm")(x)
         x = PositionalEncoding(cfg.model_dim, cfg.max_len, cfg.random_shift, name="positions")(x, train=train)
         x = self._seq_constraint(x)
+
+        from pero_pretraining_tpu.parallel.mesh import PIPE_AXIS
+
+        pipe = self.mesh.shape.get(PIPE_AXIS, 1) if self.mesh is not None else 1
+        if cfg.stacked_blocks or pipe > 1:
+            from pero_pretraining_tpu.parallel.pipeline import validate_pipeline_mesh
+
+            if cfg.num_experts > 0:
+                raise ValueError("stacked/pipelined blocks do not support MoE FFNs yet")
+            if cfg.dropout > 0:
+                raise ValueError("stacked/pipelined blocks require dropout=0")
+            if pipe > 1:
+                validate_pipeline_mesh(self.mesh, cfg.num_blocks, cfg.dropout)
+            return PipelinedEncoderStack(
+                cfg.num_blocks,
+                cfg.model_dim,
+                cfg.num_heads,
+                cfg.feedforward_dim,
+                dtype=self.dtype,
+                attention_impl=self.attention_impl,
+                mesh=self.mesh,
+                microbatches=cfg.pipeline_microbatches,
+                remat=cfg.remat,
+                name="stack",
+            )(x, train)
+
         # optional rematerialization: recompute block activations in backward
         # instead of keeping them in HBM (jax.checkpoint via nn.remat)
         block_cls = nn.remat(EncoderBlock, static_argnums=(2,)) if cfg.remat else EncoderBlock

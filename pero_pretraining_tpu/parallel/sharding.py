@@ -27,11 +27,16 @@ from typing import Any, Sequence, Tuple
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pero_pretraining_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
+from pero_pretraining_tpu.parallel.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS, PIPE_AXIS
 
 # (path regex, spec factory). Specs reference MODEL_AXIS only; DATA_AXIS is
 # used for batch sharding, params are replicated across it.
 DEFAULT_RULES: Sequence[Tuple[str, P]] = (
+    # stacked encoder blocks (pipeline parallelism, parallel/pipeline.py):
+    # every leaf has a leading layer axis sharded over `pipe`. MUST come
+    # before the generic attention/mlp rules (those specs assume unstacked
+    # ranks). TP inside the pipelined region is unsupported by design.
+    (r".*blocks.*", P(PIPE_AXIS)),
     # fused qkv projection kernel: (model_dim, 3*num_heads*head_dim)
     (r".*attention.*qkv.*kernel", P(None, MODEL_AXIS)),
     (r".*attention.*(query|key|value).*kernel", P(None, MODEL_AXIS)),

@@ -70,6 +70,8 @@ def parse_arguments():
                         help="Sequence-parallel mesh axis (ring attention; use with --attention-impl ring).")
     parser.add_argument("--mesh-expert", type=int, default=1,
                         help="Expert-parallel mesh axis (MoE FFN; use with num_experts in --backbone).")
+    parser.add_argument("--mesh-pipe", type=int, default=1,
+                        help="Pipeline-parallel mesh axis (GPipe over the block stack; stacked-blocks layout).")
     parser.add_argument("--attention-impl", choices=("xla", "flash", "ring"), default="xla",
                         help="Attention kernel: XLA fused (default) or Pallas flash (long sequences).")
     parser.add_argument("--decoder", choices=("greedy", "beam"), default="greedy",
@@ -125,7 +127,7 @@ def main():
     trn_loader = DataLoader(trn_dataset, creator, batch_size=args.batch_size, shuffle=True, num_workers=args.num_workers, seed=args.seed)
     tst_loader = DataLoader(tst_dataset, creator, batch_size=args.batch_size, shuffle=False, num_workers=args.num_workers)
 
-    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model, seq=args.mesh_seq, expert=args.mesh_expert))
+    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model, seq=args.mesh_seq, expert=args.mesh_expert, pipe=args.mesh_pipe))
     print(f"Mesh: {dict(mesh.shape)}")
 
     task = CTCTask(backbone, charset, training, attention_impl=args.attention_impl, mesh=mesh)

@@ -98,6 +98,8 @@ def parse_arguments():
                         help="Sequence-parallel mesh axis (ring attention; use with --attention-impl ring).")
     parser.add_argument("--mesh-expert", type=int, default=1,
                         help="Expert-parallel mesh axis (MoE FFN; use with num_experts in --backbone).")
+    parser.add_argument("--mesh-pipe", type=int, default=1,
+                        help="Pipeline-parallel mesh axis (GPipe over the block stack; stacked-blocks layout).")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="Fuse N optimizer steps per device program (must divide view-step).")
     parser.add_argument("--attention-impl", choices=("xla", "flash", "ring"), default="xla",
@@ -159,7 +161,7 @@ def main():
         seed=args.seed,
     )
 
-    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model, seq=args.mesh_seq, expert=args.mesh_expert))
+    mesh = create_mesh(MeshConfig(data=args.mesh_data, model=args.mesh_model, seq=args.mesh_seq, expert=args.mesh_expert, pipe=args.mesh_pipe))
     print(f"Mesh: {dict(mesh.shape)}")
 
     task = MaskedTask(backbone, head, training, attention_impl=args.attention_impl, mesh=mesh)

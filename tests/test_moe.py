@@ -170,3 +170,30 @@ def test_moe_cli_definition_roundtrip():
         {"type": "vit", "num_experts": 8, "expert_topk": 2, "expert_capacity": 1.5}
     )
     assert cfg.num_experts == 8 and cfg.expert_topk == 2 and cfg.expert_capacity == 1.5
+
+
+def test_moe_composes_with_sequence_parallel_mesh(rng):
+    """MoE dispatch/combine einsums under a (data x seq x expert) mesh with
+    ring attention still reproduce the single-device update (GSPMD inserts
+    the seq<->expert reshards)."""
+    assert len(jax.devices()) >= 8
+    batch = synthetic_masked_batch(rng, batch_size=4, width=256, num_labels=50)
+
+    task1 = MaskedTask(MOE_BACKBONE, TINY_HEAD, TINY_TRAIN)
+    mesh1 = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    t1 = Trainer(task1, TINY_TRAIN, mesh=mesh1)
+    s1 = t1.init_state(batch)
+    s1, m1 = t1.train_step(s1, batch)
+
+    mesh8 = create_mesh(MeshConfig(data=2, seq=2, expert=2))
+    task8 = MaskedTask(MOE_BACKBONE, TINY_HEAD, TINY_TRAIN, attention_impl="ring", mesh=mesh8)
+    t8 = Trainer(task8, TINY_TRAIN, mesh=mesh8)
+    s8 = t8.init_state(batch)
+    s8, m8 = t8.train_step(s8, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for l1, l8 in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s8.params)),
+    ):
+        np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
