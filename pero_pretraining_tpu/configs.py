@@ -222,6 +222,11 @@ class TrainingConfig:
     # (the fused Adam update runs at HBM roofline, docs/PROFILE.md). No effect
     # on a 1-device data axis.
     shard_opt_state: bool = False
+    # ZeRO-3 / FSDP: fully shard PARAMS over `data` (GSPMD all-gathers each
+    # weight just-in-time and reduce-scatters its grad); per-chip parameter
+    # residency divides by the data size. Optimizer moments inherit the
+    # sharded layout. Composes with --shard-opt-state and the other axes.
+    fsdp: bool = False
     start_iteration: int = 0
     end_iteration: int = 100000
     view_step: int = 500

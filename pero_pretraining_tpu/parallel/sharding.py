@@ -94,6 +94,35 @@ def param_shardings(params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DE
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
 
+def fsdp_param_shardings(params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES):
+    """ZeRO-3 / FSDP: fully shard PARAMETERS over the `data` mesh axis, purely
+    by sharding annotations (the reference has no distributed support at all,
+    SURVEY.md §2.7; ZeRO-1 — `zero1_opt_state_shardings` — shards only the
+    optimizer moments).
+
+    Per leaf: start from the tensor-parallel rule spec (so `model`/`pipe`
+    dims stay put), then place `data` on the largest free dim divisible by
+    the data axis size. GSPMD then all-gathers each weight just-in-time in
+    forward/backward and reduce-scatters its gradient — per-chip parameter
+    residency divides by the data size, the standard FSDP recipe. Scalars
+    and indivisible leaves stay replicated (always valid)."""
+    data_size = mesh.shape[DATA_AXIS]
+
+    def leaf_sharding(path, leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        shape = tuple(getattr(leaf, "shape", ()))
+        base = list(_spec_for(_path_str(path), ndim, rules))
+        base = base + [None] * (ndim - len(base))
+        if ndim == 0 or data_size <= 1:
+            return NamedSharding(mesh, P(*base))
+        free = [i for i in range(ndim) if base[i] is None and shape[i] % data_size == 0 and shape[i] >= data_size]
+        if free:
+            base[max(free, key=lambda i: shape[i])] = DATA_AXIS
+        return NamedSharding(mesh, P(*base))
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
 def zero1_opt_state_shardings(
     opt_state: Any, params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES
 ):

@@ -72,6 +72,11 @@ def add_optimizer_arguments(parser) -> None:
                              "(reduce-scatter grads into the Adam update, all-gather param deltas); "
                              "per-chip optimizer HBM traffic divides by the data size. "
                              "No effect on a 1-device data axis.")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3/FSDP: fully shard PARAMS over the data mesh axis (GSPMD "
+                             "all-gathers each weight just-in-time and reduce-scatters its grad); "
+                             "per-chip parameter residency divides by the data size. Optimizer "
+                             "moments inherit the sharded layout; composes with --shard-opt-state.")
 
 
 def optimizer_config_kwargs(args) -> dict:
@@ -84,6 +89,7 @@ def optimizer_config_kwargs(args) -> dict:
         skip_nonfinite=args.skip_nonfinite,
         moments_dtype=args.moments_dtype,
         shard_opt_state=args.shard_opt_state,
+        fsdp=args.fsdp,
     )
 
 

@@ -31,6 +31,7 @@ from jax.sharding import Mesh
 from pero_pretraining_tpu.configs import TrainingConfig
 from pero_pretraining_tpu.parallel.mesh import local_mesh
 from pero_pretraining_tpu.parallel.sharding import (
+    fsdp_param_shardings,
     param_shardings,
     replicated,
     shard_batch,
@@ -152,6 +153,11 @@ class Trainer:
         self._train_step = jax.jit(self._step, donate_argnums=donate)
         self._train_many = jax.jit(self._multi_step, donate_argnums=donate)
 
+    def _param_shardings(self, params):
+        if getattr(self.config, "fsdp", False):
+            return fsdp_param_shardings(params, self.mesh)
+        return param_shardings(params, self.mesh)
+
     # ------------------------------------------------------------------ setup
     def init_state(self, sample_batch: Any) -> TrainState:
         """Initialize params on host, place them sharded, init optimizer on
@@ -162,7 +168,7 @@ class Trainer:
         params = variables.pop("params")
         model_state = variables  # batch_stats / vq / ... (may be empty)
 
-        shardings = param_shardings(params, self.mesh)
+        shardings = self._param_shardings(params)
         params = jax.device_put(params, shardings)
         model_state = jax.device_put(model_state, replicated(self.mesh))
         opt_state = jax.jit(self.tx.init)(params)
@@ -176,7 +182,7 @@ class Trainer:
         """(Re-)place a host-resident state (e.g. just loaded from a
         checkpoint) with this trainer's shardings, so resumed runs keep the
         tensor-parallel param layout and the ZeRO-1 optimizer partitioning."""
-        params = jax.device_put(state.params, param_shardings(state.params, self.mesh))
+        params = jax.device_put(state.params, self._param_shardings(state.params))
         if getattr(self.config, "shard_opt_state", False):
             self._opt_shardings = zero1_opt_state_shardings(state.opt_state, params, self.mesh)
             opt_state = jax.device_put(state.opt_state, self._opt_shardings)

@@ -1,0 +1,94 @@
+"""ZeRO-3 / FSDP parameter sharding (parallel/sharding.py::fsdp_param_shardings).
+
+Beyond-parity extension (the reference is single-device, SURVEY.md §2.7).
+FSDP is pure sharding annotations — GSPMD inserts the just-in-time weight
+all-gathers and gradient reduce-scatters — so the correctness bar is exact
+equality with replicated-parameter training.
+"""
+
+import jax
+import numpy as np
+
+from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
+from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch
+from pero_pretraining_tpu.parallel.mesh import create_mesh
+from pero_pretraining_tpu.pipelines.masked import MaskedTask
+from pero_pretraining_tpu.training.trainer import Trainer
+
+TINY_BACKBONE = BackboneConfig(type="vit", model_dim=64, num_heads=2, num_blocks=2, feedforward_dim=128, max_len=512)
+TINY_HEAD = HeadConfig(in_features=64, out_features=64)
+
+
+def test_fsdp_train_step_matches_replicated(rng):
+    """FSDP over data=8 reproduces the replicated-params update exactly, and
+    the large kernels are physically sharded over `data`."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    batch = synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=64)
+
+    base = TrainingConfig(learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0)
+    task1 = MaskedTask(TINY_BACKBONE, TINY_HEAD, base)
+    mesh1 = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    t1 = Trainer(task1, base, mesh=mesh1)
+    s1 = t1.init_state(batch)
+    s1, m1 = t1.train_step(s1, batch)
+
+    fsdp_cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0, fsdp=True
+    )
+    mesh8 = create_mesh(MeshConfig(data=8))
+    task8 = MaskedTask(TINY_BACKBONE, TINY_HEAD, fsdp_cfg)
+    t8 = Trainer(task8, fsdp_cfg, mesh=mesh8)
+    s8 = t8.init_state(batch)
+
+    # a large kernel must be physically sharded over `data`
+    fc1 = s8.params["backbone"]["block0"]["mlp"]["fc1"]["kernel"]
+    assert "data" in tuple(fc1.sharding.spec), f"fc1 not data-sharded: {fc1.sharding.spec}"
+    shard_bytes = fc1.addressable_shards[0].data.nbytes
+    assert shard_bytes * 8 == fc1.nbytes, "per-chip residency did not divide by 8"
+
+    s8, m8 = t8.train_step(s8, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for l1, l8 in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s8.params)),
+    ):
+        np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
+
+    # second step exercises donation with the sharded layout
+    s8, m8 = t8.train_step(s8, batch)
+    assert np.isfinite(float(m8["loss"]))
+
+
+def test_fsdp_composes_with_tp_and_zero1(rng):
+    """FSDP + tensor parallel + ZeRO-1 on a (4 data x 2 model) mesh still
+    equals the single-device update; model-sharded dims stay on `model`."""
+    assert len(jax.devices()) >= 8
+    batch = synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=64)
+
+    base = TrainingConfig(learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0)
+    task1 = MaskedTask(TINY_BACKBONE, TINY_HEAD, base)
+    mesh1 = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    t1 = Trainer(task1, base, mesh=mesh1)
+    s1 = t1.init_state(batch)
+    s1, m1 = t1.train_step(s1, batch)
+
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0,
+        fsdp=True, shard_opt_state=True,
+    )
+    mesh8 = create_mesh(MeshConfig(data=4, model=2))
+    task8 = MaskedTask(TINY_BACKBONE, TINY_HEAD, cfg)
+    t8 = Trainer(task8, cfg, mesh=mesh8)
+    s8 = t8.init_state(batch)
+
+    fc1 = s8.params["backbone"]["block0"]["mlp"]["fc1"]["kernel"]
+    spec = tuple(fc1.sharding.spec)
+    assert "model" in spec and "data" in spec, f"expected data+model sharding, got {spec}"
+
+    s8, m8 = t8.train_step(s8, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for l1, l8 in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s8.params)),
+    ):
+        np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
