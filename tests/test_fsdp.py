@@ -92,3 +92,40 @@ def test_fsdp_composes_with_tp_and_zero1(rng):
         jax.tree_util.tree_leaves(jax.device_get(s8.params)),
     ):
         np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
+
+
+def test_fsdp_checkpoint_roundtrip_place_state(rng, tmp_path):
+    """Save -> load -> place_state under FSDP keeps the sharded layout and
+    resumes bit-continuously (same losses/params as the uninterrupted run)."""
+    from pero_pretraining_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    assert len(jax.devices()) >= 8
+    cfg = TrainingConfig(learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0, fsdp=True)
+    mesh = create_mesh(MeshConfig(data=8))
+    batches = [synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=64) for _ in range(3)]
+
+    trainer = Trainer(MaskedTask(TINY_BACKBONE, TINY_HEAD, cfg), cfg, mesh=mesh)
+    state = trainer.init_state(batches[0])
+    state, _ = trainer.train_step(state, batches[0])
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(state, path)
+
+    cont = state
+    for b in batches[1:]:
+        cont, m_cont = trainer.train_step(cont, b)
+
+    trainer2 = Trainer(MaskedTask(TINY_BACKBONE, TINY_HEAD, cfg), cfg, mesh=mesh)
+    template = trainer2.init_state(batches[0])
+    resumed = trainer2.place_state(load_checkpoint(template, path))
+    fc1 = resumed.params["backbone"]["block0"]["mlp"]["fc1"]["kernel"]
+    assert fc1.addressable_shards[0].data.size < fc1.size, "resume lost the FSDP partitioning"
+    for b in batches[1:]:
+        resumed, m_res = trainer2.train_step(resumed, b)
+
+    assert int(resumed.step) == int(cont.step)
+    np.testing.assert_allclose(float(m_res["loss"]), float(m_cont["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(cont.params)),
+        jax.tree_util.tree_leaves(jax.device_get(resumed.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

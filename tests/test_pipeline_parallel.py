@@ -193,3 +193,40 @@ def test_convert_block_layout_tool(rng):
         jax.tree_util.tree_leaves(params_n), jax.tree_util.tree_leaves(back)
     ):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_pipeline_checkpoint_roundtrip_place_state(rng, tmp_path):
+    """Save -> load -> place_state under PP keeps the stacked layout sharded
+    over `pipe` and resumes bit-continuously."""
+    from pero_pretraining_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    assert len(jax.devices()) >= 8
+    cfg = BackboneConfig(**BASE, num_blocks=4, stacked_blocks=True)
+    mesh = create_mesh(MeshConfig(data=2, pipe=4))
+    batches = [synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=50) for _ in range(3)]
+
+    trainer = Trainer(MaskedTask(cfg, TINY_HEAD, TINY_TRAIN, mesh=mesh), TINY_TRAIN, mesh=mesh)
+    state = trainer.init_state(batches[0])
+    state, _ = trainer.train_step(state, batches[0])
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(state, path)
+
+    cont = state
+    for b in batches[1:]:
+        cont, m_cont = trainer.train_step(cont, b)
+
+    trainer2 = Trainer(MaskedTask(cfg, TINY_HEAD, TINY_TRAIN, mesh=mesh), TINY_TRAIN, mesh=mesh)
+    template = trainer2.init_state(batches[0])
+    resumed = trainer2.place_state(load_checkpoint(template, path))
+    qkv = resumed.params["backbone"]["stack"]["blocks"]["attention"]["qkv"]["kernel"]
+    assert qkv.sharding.spec[0] == "pipe", "resume lost the pipe partitioning"
+    for b in batches[1:]:
+        resumed, m_res = trainer2.train_step(resumed, b)
+
+    assert int(resumed.step) == int(cont.step)
+    np.testing.assert_allclose(float(m_res["loss"]), float(m_cont["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(cont.params)),
+        jax.tree_util.tree_leaves(jax.device_get(resumed.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
