@@ -135,8 +135,17 @@ def test_train_autoencoder_cli(tiny_corpus, tmp_path, monkeypatch):
         ["--fused-ce", "--grad-accum", "2"],
         ["--masking-mode", "span", "--device-augment", "--keep-checkpoints", "1"],
         ["--buckets", "128,256", "--grad-accum", "2"],
+        # parallelism matrix through the real CLI (argparse keeps the LAST
+        # --backbone, so these override the base definition)
+        ["--backbone", '{"type":"vit","model_dim":64,"num_heads":2,"num_blocks":2,'
+         '"feedforward_dim":128,"max_len":64,"stacked_blocks":true}', "--mesh-pipe", "2"],
+        ["--backbone", '{"type":"vit","model_dim":64,"num_heads":2,"num_blocks":1,'
+         '"feedforward_dim":128,"max_len":64,"num_experts":2}', "--mesh-expert", "2"],
+        ["--mesh-seq", "2", "--attention-impl", "ring"],
+        ["--fsdp", "--shard-opt-state"],
     ],
-    ids=["fused-ce+accum", "span+device-augment+retention", "buckets+accum"],
+    ids=["fused-ce+accum", "span+device-augment+retention", "buckets+accum",
+         "pipeline", "moe-ep", "ring-sp", "fsdp+zero1"],
 )
 def test_train_masked_cli_flag_combinations(tiny_corpus, tmp_path, monkeypatch, extra):
     """New-feature flags compose: each combination trains end to end."""
