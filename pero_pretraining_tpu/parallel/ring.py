@@ -41,6 +41,13 @@ from pero_pretraining_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
 _NEG_INF = -1e30
 
 
+# Q rows per inner tile: bounds the transient score tile to
+# (N, H, _Q_CHUNK, Sk_local) so per-hop attention memory is O(chunk * S/n)
+# even at very long local sequences — the flash property, in XLA. 1024 rows
+# keeps the MXU fully fed while capping the tile at a few tens of MB.
+_Q_CHUNK = 1024
+
+
 @functools.partial(jax.checkpoint, static_argnums=())
 def _block_update(q_scaled, k, v, o, m, l):
     """One online-softmax accumulation step of local Q against one KV block.
@@ -61,6 +68,30 @@ def _block_update(q_scaled, k, v, o, m, l):
     return o_new, m_new, l_new
 
 
+def _block_update_chunked(q_scaled, k, v, o, m, l, q_chunk: int):
+    """_block_update with the Q rows processed in chunks: each chunk's
+    (o, m, l) state is independent of the others, so this is a pure memory
+    bound (transient tile (N, H, q_chunk, Sk) instead of (N, H, Sq, Sk)) with
+    identical numerics."""
+    n, h, sq, hd = q_scaled.shape
+    if q_chunk <= 0 or sq <= q_chunk or sq % q_chunk != 0:
+        return _block_update(q_scaled, k, v, o, m, l)
+    nc = sq // q_chunk
+
+    def split(t):  # (N, H, Sq, ...) -> (nc, N, H, q_chunk, ...)
+        return jnp.moveaxis(t.reshape(n, h, nc, q_chunk, *t.shape[3:]), 2, 0)
+
+    def merge(t):  # inverse of split
+        return jnp.moveaxis(t, 0, 2).reshape(n, h, sq, *t.shape[4:])
+
+    def body(_, xs):
+        qq, oo, mm, ll = xs
+        return None, _block_update(qq, k, v, oo, mm, ll)
+
+    _, (o2, m2, l2) = lax.scan(body, None, (split(q_scaled), split(o), split(m), split(l)))
+    return merge(o2), merge(m2), merge(l2)
+
+
 def _ring_attention_local(q, k, v, *, axis_name: str, axis_size: int):
     """Per-shard body (inside shard_map). q, k, v: (N, S_local, H, hd)."""
     n, s_loc, h, hd = q.shape
@@ -72,13 +103,13 @@ def _ring_attention_local(q, k, v, *, axis_name: str, axis_size: int):
     l = jnp.zeros((n, h, s_loc), jnp.float32)
 
     if axis_size == 1:
-        o, m, l = _block_update(q_scaled, k, v, o, m, l)
+        o, m, l = _block_update_chunked(q_scaled, k, v, o, m, l, _Q_CHUNK)
     else:
         perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
         def hop(carry, _):
             k_blk, v_blk, o, m, l = carry
-            o, m, l = _block_update(q_scaled, k_blk, v_blk, o, m, l)
+            o, m, l = _block_update_chunked(q_scaled, k_blk, v_blk, o, m, l, _Q_CHUNK)
             # rotate AFTER computing: overlappable neighbor exchange; after
             # axis_size hops the blocks are back home (no re-shard needed)
             k_blk = lax.ppermute(k_blk, axis_name, perm)

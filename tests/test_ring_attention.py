@@ -102,3 +102,27 @@ def test_sequence_parallel_train_step_matches_single_device(rng):
     # a second step must also run (exercises donated-buffer path + resharding)
     s8, m8 = t8.train_step(s8, batch)
     assert np.isfinite(float(m8["loss"]))
+
+
+def test_ring_q_chunked_path_matches_unchunked(rng, monkeypatch):
+    """Forcing a tiny _Q_CHUNK exercises the chunked score-tile path; the
+    result (and gradients) must be identical to the unchunked ring."""
+    import pero_pretraining_tpu.parallel.ring as ring_mod
+
+    q, k, v = _qkv(rng, s=64)
+    mesh = create_mesh(MeshConfig(data=1, seq=2), devices=jax.devices()[:2])
+
+    ref = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh=mesh))(q, k, v)
+    g_ref = jax.jit(
+        jax.grad(lambda q, k, v: jnp.sum(jnp.sin(ring_attention(q, k, v, mesh=mesh))), argnums=(0, 1, 2))
+    )(q, k, v)
+
+    monkeypatch.setattr(ring_mod, "_Q_CHUNK", 8)
+    out = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh=mesh))(q, k, v)
+    g_out = jax.jit(
+        jax.grad(lambda q, k, v: jnp.sum(jnp.sin(ring_attention(q, k, v, mesh=mesh))), argnums=(0, 1, 2))
+    )(q, k, v)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
