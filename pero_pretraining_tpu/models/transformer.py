@@ -231,6 +231,11 @@ class TransformerBackbone(nn.Module):
                 raise ValueError("stacked/pipelined blocks do not support MoE FFNs yet")
             if cfg.dropout > 0:
                 raise ValueError("stacked/pipelined blocks require dropout=0")
+            if self.attention_impl == "ring":
+                raise ValueError(
+                    "ring attention does not compose with stacked/pipelined blocks "
+                    "(the pipelined region is manual over `pipe`; use the seq axis without pipe)"
+                )
             if pipe > 1:
                 validate_pipeline_mesh(self.mesh, cfg.num_blocks, cfg.dropout)
             return PipelinedEncoderStack(
