@@ -216,6 +216,21 @@ def make_view_step_handler(
     return handler
 
 
+def make_preempt_handler(checkpoints_dir: Optional[str]):
+    """fit(on_preempt=...) callback: synchronous checkpoint save on SIGTERM/
+    SIGINT (preemption), so `--start-iteration -1` resumes exactly where the
+    preempted run stopped."""
+    if not checkpoints_dir:
+        return None
+
+    def handler(iteration, state):
+        path = get_checkpoint_path(checkpoints_dir, iteration)
+        save_checkpoint(state, path)
+        print(f"preemption checkpoint written: {path}")
+
+    return handler
+
+
 def init_directories(*directories):
     for directory in directories:
         if directory:

@@ -20,6 +20,7 @@ from pero_pretraining_tpu.data.dataset import TranscriptionDataset
 from pero_pretraining_tpu.data.loader import DataLoader
 from pero_pretraining_tpu.parallel.mesh import create_mesh
 from pero_pretraining_tpu.pipelines.cli_common import (
+    make_preempt_handler,
     add_optimizer_arguments,
     init_directories,
     maybe_resume,
@@ -194,7 +195,8 @@ def main():
 
     state = maybe_resume(trainer, state, training)
     batches = (numeric_batch(b) for b in trn_loader.stream(args.start_iteration))
-    trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration)
+    trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
+                on_preempt=make_preempt_handler(args.checkpoints))
     if checkpointer is not None:
         checkpointer.close()
     print("Training finished")

@@ -22,6 +22,7 @@ from pero_pretraining_tpu.pipelines.cli_common import (
     add_optimizer_arguments,
     build_loaders,
     init_directories,
+    make_preempt_handler,
     make_view_step_handler,
     maybe_resume,
     optimizer_config_kwargs,
@@ -172,7 +173,8 @@ def main():
     batches = (numeric_batch(b) for b in trn_loader.stream(args.start_iteration))
     trainer.fit(state, batches, start_iteration=args.start_iteration, end_iteration=args.end_iteration,
                 steps_per_call=args.steps_per_call,
-                profile_dir=args.profile_dir)
+                profile_dir=args.profile_dir,
+                on_preempt=make_preempt_handler(args.checkpoints))
     if checkpointer is not None:
         checkpointer.close()
     print("Training finished")

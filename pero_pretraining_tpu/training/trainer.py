@@ -330,6 +330,7 @@ class Trainer:
         profile_dir: Optional[str] = None,
         profile_start: int = 10,
         profile_steps: int = 5,
+        on_preempt: Optional[Callable] = None,
     ) -> TrainState:
         """Iteration-driven loop mirroring the reference's
         (masked_pretraining/trainer.py:19-50): the data iterator is recycled on
@@ -342,13 +343,35 @@ class Trainer:
 
         profile_dir captures a device trace (TensorBoard/Perfetto) of
         `profile_steps` steps starting `profile_start` steps in (past the
-        compile + warmup noise); the reference has no tracing (SURVEY.md §5)."""
+        compile + warmup noise); the reference has no tracing (SURVEY.md §5).
+
+        on_preempt(iteration, state) makes training PREEMPTION-SAFE: SIGTERM/
+        SIGINT set a flag, the in-flight step finishes, the callback runs
+        (checkpoint save in the CLIs) and fit returns — no partial update is
+        ever persisted, and `--start-iteration -1` resumes exactly. The
+        reference loses all progress since the last view step on preemption
+        (SURVEY.md §5: no failure story)."""
         start = int(state.step) if start_iteration is None else start_iteration
         end = self.config.end_iteration if end_iteration is None else end_iteration
         view = self.config.view_step if view_step is None else view_step
         k = max(1, steps_per_call)
         if view and k > 1 and view % k != 0:
             raise ValueError(f"view_step {view} must be a multiple of steps_per_call {k}")
+
+        preempt_signal = {"num": None}
+        old_handlers = {}
+        if on_preempt is not None:
+            import signal
+
+            def _flag(signum, frame):
+                del frame
+                preempt_signal["num"] = signum
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    old_handlers[sig] = signal.signal(sig, _flag)
+                except ValueError:  # not in the main thread — no handler
+                    pass
 
         iterator: Iterator = iter(batches)
 
@@ -381,6 +404,15 @@ class Trainer:
                 iteration += chunk
                 count += chunk
 
+                if preempt_signal["num"] is not None:
+                    # finish-the-step-then-save: state is a consistent
+                    # post-optimizer snapshot at `iteration`
+                    print(
+                        f"preempted (signal {preempt_signal['num']}): saving at iteration {iteration}"
+                    )
+                    on_preempt(iteration, state)
+                    break
+
                 if trace_until is not None and iteration >= trace_until:
                     jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
                     jax.profiler.stop_trace()
@@ -400,6 +432,11 @@ class Trainer:
         finally:
             if trace_until is not None:  # loop exited mid-trace
                 jax.profiler.stop_trace()
+            if old_handlers:
+                import signal
+
+                for sig, handler in old_handlers.items():
+                    signal.signal(sig, handler)
 
         if self._nonfinite_limit:
             self._check_nonfinite(getattr(state.opt_state, "notfinite_count", None))
