@@ -48,6 +48,7 @@ def split_variables(raw: Dict[str, Any]) -> Tuple[Any, Dict[str, Any]]:
 def init_feature_model(
     model_definition: str,
     checkpoint_path: Optional[str],
+    mesh=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build a jitted frozen encoder `(N, H, W, C) float -> (N, S, D)` frames.
 
@@ -55,6 +56,11 @@ def init_feature_model(
     scripts/common.py:11-24). For AE/VQ-VAE the ENCODER output is used (the
     reference calls the full AE forward, which returns a dict and would crash
     — scripts/produce_features.py:37; clearly the encoder was intended).
+
+    mesh: optional data-parallel mesh — the batch shards over its `data`
+    axis (weights replicated), so offline label production scales linearly
+    with chips. Ragged final batches are zero-padded to the data size and
+    sliced back, so outputs are row-identical to the single-chip run.
     """
     if model_definition == "pero_vgg":
         model = PeroVggEncoder()
@@ -80,13 +86,28 @@ def init_feature_model(
     # param tree would bake megabytes of weights into the jaxpr and make
     # compilation pathologically slow
     jit_encode = jax.jit(encode)
-    variables = jax.device_put(variables)
+    data_size = 1
+    if mesh is not None:
+        from pero_pretraining_tpu.parallel.mesh import DATA_AXIS
+        from pero_pretraining_tpu.parallel.sharding import batch_sharding, replicated
+
+        data_size = mesh.shape[DATA_AXIS]
+        variables = jax.device_put(variables, replicated(mesh))
+    else:
+        variables = jax.device_put(variables)
 
     def features(images: jax.Array) -> jax.Array:
+        n = images.shape[0]
+        if data_size > 1:
+            pad = (-n) % data_size
+            if pad:
+                zeros = jnp.zeros((pad,) + tuple(images.shape[1:]), images.dtype)
+                images = jnp.concatenate([jnp.asarray(images), zeros], axis=0)
+            images = jax.device_put(images, batch_sharding(mesh))
         out = jit_encode(variables, images)
         if out.ndim == 4:  # (N, 1, S, D) -> (N, S, D)
             out = out.squeeze(axis=1)
-        return out
+        return out[:n]
 
     return features
 

@@ -33,6 +33,8 @@ def parse_arguments():
     parser.add_argument("--precision", choices=("parity", "fast"), default="parity",
                         help="parity: fp32 matmuls, bit-comparable targets across backends (BASELINE.md). fast: bf16 MXU matmuls, several-x faster; assignments may differ on near-ties.")
     parser.add_argument("--output-type", default="numpy", choices=["numpy", "pickle"])
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="Shard the frozen-encoder batch over N chips (weights replicated) — feature dumping scales linearly with chips; outputs are row-identical to 1 chip.")
     parser.add_argument("--output", required=True)
     return parser.parse_args()
 
@@ -56,7 +58,16 @@ def main():
 
 def _main(args):
 
-    encode = init_feature_model(args.model_definition, args.checkpoint_path)
+    mesh = None
+    if args.mesh_data > 1:
+        import jax as _jax
+
+        from pero_pretraining_tpu.configs import MeshConfig
+        from pero_pretraining_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(MeshConfig(data=args.mesh_data), devices=_jax.devices()[: args.mesh_data])
+        print(f"Mesh: {dict(mesh.shape)}")
+    encode = init_feature_model(args.model_definition, args.checkpoint_path, mesh=mesh)
     print("Model loaded")
     loader = init_dataset(args.lmdb_path, args.lines_path, args.batch_size, max_width=args.max_line_width)
     print("Dataset loaded")

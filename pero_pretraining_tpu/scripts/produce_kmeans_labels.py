@@ -32,6 +32,8 @@ def parse_arguments():
     parser.add_argument("--max-line-width", type=int, default=2048)
     parser.add_argument("--precision", choices=("parity", "fast"), default="parity",
                         help="parity: fp32 matmuls, bit-comparable targets across backends (BASELINE.md). fast: bf16 MXU matmuls, several-x faster; assignments may differ on near-ties.")
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="Shard the frozen-encoder batch over N chips (weights replicated) — label production scales linearly with chips; outputs are row-identical to 1 chip.")
     parser.add_argument("--output", required=True)
     parser.add_argument("--skip", type=int, default=0)
     return parser.parse_args()
@@ -72,7 +74,16 @@ def main():
 def _main(args):
     start = time.time()
 
-    encode = init_feature_model(args.model_definition, args.checkpoint_path)
+    mesh = None
+    if args.mesh_data > 1:
+        import jax as _jax
+
+        from pero_pretraining_tpu.configs import MeshConfig
+        from pero_pretraining_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(MeshConfig(data=args.mesh_data), devices=_jax.devices()[: args.mesh_data])
+        print(f"Mesh: {dict(mesh.shape)}")
+    encode = init_feature_model(args.model_definition, args.checkpoint_path, mesh=mesh)
     print("Model loaded")
     centroids = jnp.asarray(load_centroids(args.kmeans_path), dtype=jnp.float32)
     print(f"K-Means model loaded ({centroids.shape})")

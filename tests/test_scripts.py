@@ -322,3 +322,20 @@ def test_produce_labels_precision_fast(corpus, tmp_path, monkeypatch):
         assert run_labels() == 0
         outputs[precision] = open(out).read()
     assert outputs["parity"] == outputs["fast"]  # CPU backend: same math
+
+
+def test_produce_features_mesh_data_row_identical(corpus, tmp_path, monkeypatch):
+    """--mesh-data 2 shards the frozen-encoder batch over two devices; the
+    dumped features must be ROW-IDENTICAL to the single-chip run (batch
+    parallelism adds no reductions; ragged final batches are padded+sliced)."""
+    from pero_pretraining_tpu.scripts.produce_features import main as produce_features
+
+    store_path, lines_path = corpus
+    single = str(tmp_path / "f1.npy")
+    sharded = str(tmp_path / "f2.npy")
+    # batch 3 over 10 lines -> ragged final batch exercises the pad+slice path
+    base = ["pf", "--model-definition", AE_DEF, "--lines-path", lines_path, "--lmdb-path", store_path,
+            "--batch-size", "3", "--max-line-width", "320"]
+    _run(produce_features, base + ["--output", single], monkeypatch)
+    _run(produce_features, base + ["--mesh-data", "2", "--output", sharded], monkeypatch)
+    np.testing.assert_array_equal(np.load(single), np.load(sharded))
