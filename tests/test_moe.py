@@ -197,3 +197,39 @@ def test_moe_composes_with_sequence_parallel_mesh(rng):
         jax.tree_util.tree_leaves(jax.device_get(s8.params)),
     ):
         np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
+
+
+def test_maximal_gspmd_composition(rng):
+    """Everything GSPMD-based at once — (2 data x 2 seq x 2 expert) mesh,
+    MoE FFN, ring attention, FSDP, ZeRO-1, grad accumulation — still equals
+    the plain single-device update."""
+    assert len(jax.devices()) >= 8
+    batch = synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=50)
+
+    # grad_accum changes the per-microbatch masked-mean weighting, so the
+    # single-device reference uses the same accumulation
+    base = TrainingConfig(
+        learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0, grad_accum=2
+    )
+    task1 = MaskedTask(MOE_BACKBONE, TINY_HEAD, base)
+    mesh1 = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    t1 = Trainer(task1, base, mesh=mesh1)
+    s1 = t1.init_state(batch)
+    s1, m1 = t1.train_step(s1, batch)
+
+    cfg = TrainingConfig(
+        learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0,
+        fsdp=True, shard_opt_state=True, grad_accum=2,
+    )
+    mesh8 = create_mesh(MeshConfig(data=2, seq=2, expert=2))
+    task8 = MaskedTask(MOE_BACKBONE, TINY_HEAD, cfg, attention_impl="ring", mesh=mesh8)
+    t8 = Trainer(task8, cfg, mesh=mesh8)
+    s8 = t8.init_state(batch)
+    s8, m8 = t8.train_step(s8, batch)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for l1, l8 in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s8.params)),
+    ):
+        np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
