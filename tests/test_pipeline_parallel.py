@@ -230,3 +230,19 @@ def test_pipeline_checkpoint_roundtrip_place_state(rng, tmp_path):
         jax.tree_util.tree_leaves(jax.device_get(resumed.params)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_pipeline_composes_with_flash_attention(rng):
+    """The Pallas flash kernel (interpret on CPU, Mosaic on TPU) runs inside
+    the pipeline's shard_map stages and matches the XLA-attention pipeline."""
+    x = jnp.asarray(rng.rand(2, 40, 256, 3), jnp.float32)
+    mesh = create_mesh(MeshConfig(data=1, pipe=2), devices=jax.devices()[:2])
+    cfg = BackboneConfig(**BASE, num_blocks=4, stacked_blocks=True)
+
+    bb_x = build_backbone(cfg, mesh=mesh, attention_impl="xla")
+    params = bb_x.init({"params": jax.random.PRNGKey(0)}, x, train=False)["params"]
+    out_x = jax.jit(lambda p, x: bb_x.apply({"params": p}, x, train=False))(params, x)
+
+    bb_f = build_backbone(cfg, mesh=mesh, attention_impl="flash")
+    out_f = jax.jit(lambda p, x: bb_f.apply({"params": p}, x, train=False))(params, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5)
