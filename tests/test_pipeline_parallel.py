@@ -246,3 +246,27 @@ def test_pipeline_composes_with_flash_attention(rng):
     bb_f = build_backbone(cfg, mesh=mesh, attention_impl="flash")
     out_f = jax.jit(lambda p, x: bb_f.apply({"params": p}, x, train=False))(params, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_composes_with_train_many(rng):
+    """steps_per_call scan-fusion (train_many) wraps the pipeline shard_map:
+    K fused steps equal K sequential steps on the (data x pipe) mesh."""
+    cfg = BackboneConfig(**BASE, num_blocks=4, stacked_blocks=True)
+    mesh = create_mesh(MeshConfig(data=2, pipe=4))
+    batches = [synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=50) for _ in range(3)]
+
+    t_seq = Trainer(MaskedTask(cfg, TINY_HEAD, TINY_TRAIN, mesh=mesh), TINY_TRAIN, mesh=mesh)
+    s = t_seq.init_state(batches[0])
+    for b in batches:
+        s, m_seq = t_seq.train_step(s, b)
+
+    t_fused = Trainer(MaskedTask(cfg, TINY_HEAD, TINY_TRAIN, mesh=mesh), TINY_TRAIN, mesh=mesh)
+    s2 = t_fused.init_state(batches[0])
+    s2, m_fused = t_fused.train_many(s2, batches)
+
+    np.testing.assert_allclose(float(m_seq["loss"]), float(m_fused["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(s.params)),
+        jax.tree_util.tree_leaves(jax.device_get(s2.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
