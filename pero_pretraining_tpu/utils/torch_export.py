@@ -80,6 +80,16 @@ def export_vit_backbone(
     out[f"{prefix}conv_layer.weight"] = kernel.T.reshape(d_out, in_channels, *patch_size)
     out[f"{prefix}conv_layer.bias"] = _a(params["patch_embed"]["bias"])
     layernorm_to_torch(params["pre_norm"], out, f"{prefix}intermediate_norm")
+    if "stack" in params:  # stacked-blocks layout (parallel/pipeline.py)
+        from pero_pretraining_tpu.parallel.pipeline import unstack_block_params
+
+        import jax
+
+        stacked = params["stack"]["blocks"]
+        num_blocks = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        for i, block in enumerate(unstack_block_params(stacked, num_blocks)):
+            export_encoder_block(block, out, f"{prefix}encoder_layers.layers.{i}.")
+        return out
     i = 0
     while f"block{i}" in params:
         export_encoder_block(params[f"block{i}"], out, f"{prefix}encoder_layers.layers.{i}.")

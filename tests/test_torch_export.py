@@ -160,3 +160,21 @@ def test_export_cli_masked(rng, tmp_path, monkeypatch):
     assert "head.linear.weight" in sd
     assert sd["head.linear.weight"].shape == (32, D)
     assert f"backbone.encoder_layers.layers.{BLOCKS - 1}.linear2.weight" in sd
+
+
+def test_stacked_layout_export_matches_per_block(rng):
+    """A stacked-blocks (pipeline-layout) checkpoint exports to the SAME
+    reference state_dict as its per-block equivalent."""
+    from pero_pretraining_tpu.parallel.pipeline import stack_block_params
+
+    _, params = _init_vit_params(rng)
+    sd_blocks = export_vit_backbone(params, patch_size=(H, 8))
+
+    stacked = dict(params)
+    blocks = [stacked.pop(f"block{i}") for i in range(BLOCKS)]
+    stacked["stack"] = {"blocks": stack_block_params(blocks)}
+    sd_stacked = export_vit_backbone(stacked, patch_size=(H, 8))
+
+    assert set(sd_blocks) == set(sd_stacked)
+    for key in sd_blocks:
+        np.testing.assert_array_equal(sd_blocks[key], sd_stacked[key])
