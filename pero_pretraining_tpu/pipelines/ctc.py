@@ -70,6 +70,32 @@ class CTCTask:
         variables.pop("aux", None)  # sown router stats are per-step, not state
         return variables
 
+    @staticmethod
+    def _match_block_layout(loaded_backbone: dict, target_backbone: dict) -> dict:
+        """Auto-convert between the per-block (block0..L-1) and stacked
+        ('stack/blocks', pipeline) encoder layouts when the pretraining
+        checkpoint and the fine-tune config disagree — so a PP-pretrained
+        backbone drops straight into a per-block fine-tune and vice versa
+        (tools/convert_block_layout.py is the offline equivalent)."""
+        from pero_pretraining_tpu.parallel.pipeline import stack_block_params, unstack_block_params
+
+        loaded_stacked = "stack" in loaded_backbone
+        target_stacked = "stack" in target_backbone
+        if loaded_stacked == target_stacked:
+            return loaded_backbone
+        if loaded_stacked:  # stacked checkpoint -> per-block target
+            stacked = loaded_backbone.pop("stack")["blocks"]
+            num_blocks = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+            for i, block in enumerate(unstack_block_params(stacked, num_blocks)):
+                loaded_backbone[f"block{i}"] = block
+            return loaded_backbone
+        # per-block checkpoint -> stacked target
+        blocks = []
+        while f"block{len(blocks)}" in loaded_backbone:
+            blocks.append(loaded_backbone.pop(f"block{len(blocks)}"))
+        loaded_backbone["stack"] = {"blocks": stack_block_params(blocks)}
+        return loaded_backbone
+
     def load_pretrained_backbone(self, variables, checkpoint_path: str):
         """Graft the backbone subtree from a pretraining checkpoint (masked or
         joint-embedding; both store params under 'backbone')."""
@@ -80,7 +106,9 @@ class CTCTask:
             raise ValueError(f"checkpoint {checkpoint_path} has no 'backbone' params")
         variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
         new_params = dict(variables["params"])
-        new_params["backbone"] = params["backbone"]
+        new_params["backbone"] = self._match_block_layout(
+            dict(params["backbone"]), variables["params"]["backbone"]
+        )
         out = {"params": new_params}
         for key, value in variables.items():
             if key != "params":

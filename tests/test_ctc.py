@@ -153,3 +153,55 @@ def test_backbone_grafting(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # head stays freshly initialized
     assert "ctc_head" in grafted["params"]
+
+
+def test_backbone_grafting_converts_block_layouts(rng, tmp_path):
+    """A STACKED (pipeline-layout) pretraining checkpoint grafts into a
+    per-block CTC model and vice versa — layouts auto-convert."""
+    import dataclasses
+
+    from flax import serialization
+    from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch
+    from pero_pretraining_tpu.pipelines.masked import MaskedTask
+
+    head = HeadConfig(in_features=64, out_features=32)
+    training = TrainingConfig(seed=0)
+    stacked_cfg = dataclasses.replace(TINY_BACKBONE, stacked_blocks=True)
+
+    masked = MaskedTask(stacked_cfg, head, training)
+    mbatch = synthetic_masked_batch(rng, batch_size=2, width=128, num_labels=32)
+    mvars = dict(masked.init_variables(jax.random.PRNGKey(0), mbatch))
+    ckpt = str(tmp_path / "stacked.msgpack")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get({"params": mvars["params"]})))
+
+    charset = Charset(list("xyz"))
+    cbatch = _glyph_batch(rng, charset, n=2, width=128)
+
+    # stacked checkpoint -> per-block CTC model
+    task = CTCTask(TINY_BACKBONE, charset, training)
+    cvars = task.init_variables(jax.random.PRNGKey(1), cbatch)
+    grafted = task.load_pretrained_backbone(cvars, ckpt)
+    bb = grafted["params"]["backbone"]
+    assert "stack" not in bb and "block0" in bb
+    np.testing.assert_array_equal(
+        np.asarray(mvars["params"]["backbone"]["stack"]["blocks"]["attention"]["qkv"]["kernel"][0]),
+        np.asarray(bb["block0"]["attention"]["qkv"]["kernel"]),
+    )
+    # the grafted model must actually run
+    loss, _ = task.loss_fn(grafted["params"], {}, cbatch, jax.random.PRNGKey(2), False)
+    assert np.isfinite(float(loss))
+
+    # per-block checkpoint -> stacked CTC model
+    masked_pb = MaskedTask(TINY_BACKBONE, head, training)
+    pvars = dict(masked_pb.init_variables(jax.random.PRNGKey(3), mbatch))
+    ckpt2 = str(tmp_path / "perblock.msgpack")
+    with open(ckpt2, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get({"params": pvars["params"]})))
+    task_s = CTCTask(stacked_cfg, charset, training)
+    svars = task_s.init_variables(jax.random.PRNGKey(4), cbatch)
+    grafted_s = task_s.load_pretrained_backbone(svars, ckpt2)
+    bb_s = grafted_s["params"]["backbone"]
+    assert "stack" in bb_s and "block0" not in bb_s
+    loss, _ = task_s.loss_fn(grafted_s["params"], {}, cbatch, jax.random.PRNGKey(5), False)
+    assert np.isfinite(float(loss))
