@@ -6,8 +6,10 @@ from pero_pretraining_tpu.models.transformer import (
     build_backbone,
 )
 from pero_pretraining_tpu.models.heads import LinearHead, MLPHead, build_head
+from pero_pretraining_tpu.models.moe import MoEMlp
 
 __all__ = [
+    "MoEMlp",
     "sincos_position_table",
     "PositionalEncoding",
     "TransformerBackbone",
