@@ -29,11 +29,14 @@ def parse_arguments():
     parser.add_argument("--checkpoint-path", required=True)
     parser.add_argument("--precision", choices=("parity", "fast"), default="parity",
                         help="parity: fp32 matmuls, bit-comparable targets across backends (BASELINE.md). fast: bf16 MXU matmuls, several-x faster; assignments may differ on near-ties.")
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="Shard the encoder+quantizer batch over N chips (weights replicated) — "
+                             "label production scales linearly; outputs are row-identical to 1 chip.")
     parser.add_argument("--labels-path", required=True, help="Output labels file.")
     return parser.parse_args()
 
 
-def compute_labels(model, variables, loader):
+def compute_labels(model, variables, loader, mesh=None):
     @jax.jit
     def quantize(variables, images):
         features = model.apply(variables, images, train=False, method=model.encode)
@@ -41,11 +44,27 @@ def compute_labels(model, variables, loader):
         n, _, s, _ = features.shape
         return labels.reshape(n, s)
 
-    variables = jax.device_put(variables)
+    data_size = 1
+    if mesh is not None:
+        from pero_pretraining_tpu.parallel.mesh import DATA_AXIS
+        from pero_pretraining_tpu.parallel.sharding import batch_sharding, replicated
+
+        data_size = mesh.shape[DATA_AXIS]
+        variables = jax.device_put(variables, replicated(mesh))
+    else:
+        variables = jax.device_put(variables)
     data = {}
     for batch in loader:
         images = jnp.asarray(batch["images"], dtype=jnp.float32) / 255.0
-        labels = np.asarray(quantize(variables, images))
+        n = images.shape[0]
+        if data_size > 1:
+            pad = (-n) % data_size
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.zeros((pad,) + tuple(images.shape[1:]), images.dtype)], axis=0
+                )
+            images = jax.device_put(images, batch_sharding(mesh))
+        labels = np.asarray(quantize(variables, images))[:n]
         for line_id, line_mask, line_labels in zip(batch["ids"], batch["image_masks"], labels):
             data[line_id] = line_labels[line_mask == 1].tolist()
     return data
@@ -70,7 +89,14 @@ def _main(args):
     loader = init_dataset(args.lmdb_path, args.lines_path, args.batch_size, max_width=args.max_line_width)
     print("Dataset loaded")
 
-    labels = compute_labels(model, variables, loader)
+    mesh = None
+    if args.mesh_data > 1:
+        from pero_pretraining_tpu.configs import MeshConfig
+        from pero_pretraining_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(MeshConfig(data=args.mesh_data), devices=jax.devices()[: args.mesh_data])
+        print(f"Mesh: {dict(mesh.shape)}")
+    labels = compute_labels(model, variables, loader, mesh=mesh)
     print(f"Labels computed ({len(labels)})")
 
     save_labels(labels, args.labels_path)
