@@ -233,3 +233,19 @@ def test_maximal_gspmd_composition(rng):
         jax.tree_util.tree_leaves(jax.device_get(s8.params)),
     ):
         np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_composes_with_remat(rng):
+    """MoE FFN inside rematerialized blocks (nn.remat): the sown aux loss
+    survives rematerialization and the step trains."""
+    import dataclasses
+
+    batch = synthetic_masked_batch(rng, batch_size=4, width=256, num_labels=50)
+    cfg = dataclasses.replace(MOE_BACKBONE, remat=True)
+    task = MaskedTask(cfg, TINY_HEAD, TINY_TRAIN)
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer = Trainer(task, TINY_TRAIN, mesh=mesh)
+    state = trainer.init_state(batch)
+    state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "router_aux" in metrics and 0.9 <= float(metrics["router_aux"]) <= cfg.num_experts
