@@ -116,7 +116,7 @@ def sample_fitting(
 
     budget = max_width - 2 * MAX_MARGIN
     words = max_words
-    while True:
+    for _ in range(100):
         text = sample_text(rng, min_words=min_words, max_words=words)
         font_path = fonts[rng.randint(len(fonts))]
         size = rng.randint(22, 33)
@@ -125,6 +125,23 @@ def sample_fitting(
         if right - left <= budget:
             return text, font_path, size
         words = max(min_words, words - 1)  # shrink until something fits
+    # pathological font set (every variant too wide even at min_words):
+    # truncate the last sampled text word-by-word to the measured budget so
+    # corpus generation always terminates; the stored transcription still
+    # matches the visible pixels exactly
+    parts = text.split(" ")
+    while len(parts) > 1:
+        parts = parts[:-1]
+        text = " ".join(parts)
+        left, _, right, _ = font.getbbox(text)
+        if right - left <= budget:
+            return text, font_path, size
+    while len(text) > 1:
+        text = text[:-1]
+        left, _, right, _ = font.getbbox(text)
+        if right - left <= budget:
+            break
+    return text, font_path, size
 
 
 def render_line(

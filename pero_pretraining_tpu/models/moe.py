@@ -35,20 +35,43 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
-def pop_router_aux(state: dict) -> Optional[jax.Array]:
+def pop_router_aux(state: dict) -> Optional[dict]:
     """Remove the sown \"aux\" collection from an apply() state dict and
-    return the mean load-balance loss over all MoE layers (None if the model
-    has no MoE layers or ran without the collection mutable)."""
+    return router metrics averaged over all MoE layers (None if the model has
+    no MoE layers or ran without the collection mutable):
+
+    - "router_aux": the Switch load-balance loss (1.0 at perfect balance) —
+      the term task losses weight by router_aux_weight,
+    - "router_dropped_frac": fraction of (token, k) routing assignments
+      dropped for exceeding expert capacity (those tokens ride the residual
+      unchanged). A persistently high value means capacity_factor is too low
+      or the router has collapsed onto few experts — the signal Switch-style
+      training must monitor, so it is reported in the per-step metrics."""
     aux = state.pop("aux", None)
     if not aux:
         return None
-    leaves = jax.tree_util.tree_leaves(aux)
-    if not leaves:
+
+    def mean_of(name: str) -> Optional[jax.Array]:
+        leaves = [
+            leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(aux)[0]
+            if name in jax.tree_util.keystr(path)
+        ]
+        if not leaves:
+            return None
+        total = leaves[0]
+        for leaf in leaves[1:]:
+            total = total + leaf
+        return total / len(leaves)
+
+    balance = mean_of("load_balance")
+    if balance is None:
         return None
-    total = leaves[0]
-    for leaf in leaves[1:]:
-        total = total + leaf
-    return total / len(leaves)
+    out = {"router_aux": balance}
+    dropped = mean_of("dropped_frac")
+    if dropped is not None:
+        out["router_dropped_frac"] = dropped
+    return out
 
 
 class MoEMlp(nn.Module):
@@ -121,6 +144,10 @@ class MoEMlp(nn.Module):
         frac_tokens = jnp.mean(top1, axis=(0, 1))  # f_e
         frac_probs = jnp.mean(probs, axis=(0, 1))  # P_e
         self.sow("aux", "load_balance", e * jnp.sum(frac_tokens * frac_probs))
+        # fraction of (token, k) assignments dropped for exceeding capacity:
+        # `used` holds the KEPT count per (line, expert) summed over k
+        kept = jnp.sum(used)
+        self.sow("aux", "dropped_frac", 1.0 - kept / (n * s * k))
 
         return y
 

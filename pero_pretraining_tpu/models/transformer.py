@@ -221,7 +221,7 @@ class TransformerBackbone(nn.Module):
         x = PositionalEncoding(cfg.model_dim, cfg.max_len, cfg.random_shift, name="positions")(x, train=train)
         x = self._seq_constraint(x)
 
-        from pero_pretraining_tpu.parallel.mesh import PIPE_AXIS
+        from pero_pretraining_tpu.parallel.mesh import MODEL_AXIS, PIPE_AXIS
 
         pipe = self.mesh.shape.get(PIPE_AXIS, 1) if self.mesh is not None else 1
         if cfg.stacked_blocks or pipe > 1:
@@ -231,6 +231,19 @@ class TransformerBackbone(nn.Module):
                 raise ValueError("stacked/pipelined blocks do not support MoE FFNs yet")
             if cfg.dropout > 0:
                 raise ValueError("stacked/pipelined blocks require dropout=0")
+            if self.mesh is not None and self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+                # the stacked-blocks sharding rule (P(pipe) on every leaf,
+                # parallel/sharding.py DEFAULT_RULES) replaces the per-layer
+                # MODEL_AXIS specs — accepting model>1 here would silently
+                # replicate all encoder weights, i.e. the user asks for TP
+                # and gets none
+                raise ValueError(
+                    "the stacked/pipelined block layout does not compose with tensor parallelism "
+                    f"(mesh axis 'model'={self.mesh.shape[MODEL_AXIS]} > 1): the stacked "
+                    "layout shards the leading layer axis over 'pipe' and drops the "
+                    "per-layer model-axis specs; use model=1 with pipe, or the "
+                    "unstacked layout with model>1"
+                )
             if self.attention_impl == "ring":
                 raise ValueError(
                     "ring attention does not compose with stacked/pipelined blocks "

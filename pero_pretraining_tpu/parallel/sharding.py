@@ -123,6 +123,37 @@ def fsdp_param_shardings(params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]]
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)
 
 
+def _param_matcher(params: Any, value_fn):
+    """Build `match(opt_leaf_path_str, shape) -> value | None` resolving each
+    optimizer-state leaf to its param's value, where
+    `value_fn(path_str, leaf)` produces the per-param value.
+
+    optax wrapper states (chain / multi_transform / apply_if_finite) mirror
+    the param tree inside their moment trees, so a moment leaf's path ENDS
+    with its param's path (e.g. `0/mu/backbone/block0/.../kernel`). Matching
+    by path suffix (shape-checked, longest suffix wins) keeps same-shaped
+    params with different rule specs on their own layouts — shape-only
+    matching could pin `data` onto a dim the param shards over `model` and
+    silently force a per-step reshard."""
+    by_path: dict = {}
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        path_str = _path_str(path)
+        by_path[path_str] = (tuple(getattr(leaf, "shape", ())), value_fn(path_str, leaf))
+
+    def match(path_str: str, shape: Tuple[int, ...]):
+        candidates = [
+            (param_path, value)
+            for param_path, (param_shape, value) in by_path.items()
+            if param_shape == shape and (path_str == param_path or path_str.endswith("/" + param_path))
+        ]
+        if not candidates:
+            return None
+        return max(candidates, key=lambda c: len(c[0]))[1]
+
+    return match
+
+
 def zero1_opt_state_shardings(
     opt_state: Any, params: Any, mesh: Mesh, rules: Sequence[Tuple[str, P]] = DEFAULT_RULES
 ):
@@ -138,15 +169,21 @@ def zero1_opt_state_shardings(
     purely as sharding annotations (no hand-written collectives; the reference
     has no distributed support at all, SURVEY.md §2.7).
 
-    Spec choice per leaf: start from the tensor-parallel spec its same-shaped
-    param uses (so `model`-sharded dims stay put and no cross-axis reshard is
-    induced), then place `data` on the largest free dim divisible by the data
-    axis size. Scalars (step counts) and indivisible leaves stay replicated.
-    Leaves are matched to params by shape — path-matching is impractical
-    across optax wrapper states (chain/multi_transform/apply_if_finite), and
-    same-shape params share rule-derived specs in practice; ambiguous shapes
-    fall back to a replicated base spec, which is always valid."""
+    Spec choice per leaf: start from the tensor-parallel spec of the param the
+    leaf mirrors (path-suffix match via `_param_matcher`, so `model`-sharded
+    dims stay put and no cross-axis reshard is induced), then place `data` on
+    the largest free dim divisible by the data axis size. Scalars (step
+    counts) and indivisible leaves stay replicated. Leaves with no path match
+    fall back to a shape lookup (unique-spec shapes only); remaining ambiguity
+    logs once and replicates the base spec, which is always valid."""
+    import logging
+
     data_size = mesh.shape[DATA_AXIS]
+
+    match = _param_matcher(
+        params,
+        lambda path_str, leaf: tuple(_spec_for(path_str, getattr(leaf, "ndim", 0), rules)),
+    )
 
     specs_by_shape: dict = {}
 
@@ -155,21 +192,63 @@ def zero1_opt_state_shardings(
         specs_by_shape.setdefault(tuple(leaf.shape), set()).add(tuple(spec))
 
     jax.tree_util.tree_map_with_path(collect, params)
+    warned = set()
 
-    def leaf_sharding(leaf):
+    def leaf_sharding(path, leaf):
         shape = tuple(getattr(leaf, "shape", ()))
         ndim = len(shape)
         if ndim == 0 or data_size <= 1:
             return NamedSharding(mesh, P())
-        seen = specs_by_shape.get(shape)
-        base = list(next(iter(seen))) if seen and len(seen) == 1 else []
-        base = base + [None] * (ndim - len(base))
+        base_spec = match(_path_str(path), shape)
+        if base_spec is None:
+            seen = specs_by_shape.get(shape)
+            if seen and len(seen) == 1:
+                base_spec = next(iter(seen))
+            else:
+                if seen and shape not in warned:
+                    warned.add(shape)
+                    logging.getLogger(__name__).warning(
+                        "zero1_opt_state_shardings: opt-state leaf %s (shape %s) matched no "
+                        "param path and the shape is spec-ambiguous; using a replicated base spec",
+                        _path_str(path),
+                        shape,
+                    )
+                base_spec = ()
+        base = list(base_spec) + [None] * (ndim - len(base_spec))
         free = [i for i in range(ndim) if base[i] is None and shape[i] % data_size == 0 and shape[i] >= data_size]
         if free:
             base[max(free, key=lambda i: shape[i])] = DATA_AXIS
         return NamedSharding(mesh, P(*base))
 
-    return jax.tree_util.tree_map(leaf_sharding, opt_state)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, opt_state)
+
+
+def opt_state_shardings_like_params(opt_state: Any, params: Any, param_placements: Any, mesh: Mesh):
+    """Place each optimizer-state leaf with the NamedSharding of the param it
+    mirrors (path-suffix match through optax wrapper states, shape-checked);
+    unmatched leaves (step counters, schedule states) replicate.
+
+    Used when RESUMING without ZeRO-1: at init the moments inherit the param
+    layout through jit(tx.init), but a checkpoint load re-places them — with
+    FSDP on, placing them replicated() would materialize full-size moments per
+    chip, exactly the memory FSDP shards away (potential resume-only OOM)."""
+    placements_by_path = {
+        _path_str(path): placement
+        for path, placement in jax.tree_util.tree_flatten_with_path(
+            param_placements, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )[0]
+    }
+    match = _param_matcher(params, lambda path_str, leaf: placements_by_path[path_str])
+    rep = NamedSharding(mesh, P())
+
+    def leaf_sharding(path, leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        if not shape:
+            return rep
+        placement = match(_path_str(path), shape)
+        return placement if placement is not None else rep
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, opt_state)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

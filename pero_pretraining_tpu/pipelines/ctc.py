@@ -152,10 +152,10 @@ class CTCTask:
         logits, new_model_state = self._apply(params, model_state, images, rng, train)
         loss = self._ctc_loss(logits, batch)
         metrics = {"loss": loss}
-        aux = pop_router_aux(new_model_state)
-        if aux is not None:
-            loss = loss + self.backbone_config.router_aux_weight * aux
-            metrics["router_aux"] = aux
+        router = pop_router_aux(new_model_state)
+        if router is not None:
+            loss = loss + self.backbone_config.router_aux_weight * router["router_aux"]
+            metrics.update(router)
             metrics["loss"] = loss
         return loss, (new_model_state, metrics)
 

@@ -164,10 +164,10 @@ class JointEmbeddingTask:
         losses = self._loss(out1, out2, batch)
         metrics = dict(losses)
         loss = losses["loss"]
-        aux = pop_router_aux(new_model_state)
-        if aux is not None:
-            loss = loss + self.backbone_config.router_aux_weight * aux
-            metrics["router_aux"] = aux
+        router = pop_router_aux(new_model_state)
+        if router is not None:
+            loss = loss + self.backbone_config.router_aux_weight * router["router_aux"]
+            metrics.update(router)
             metrics["loss"] = loss
         return loss, (new_model_state, metrics)
 

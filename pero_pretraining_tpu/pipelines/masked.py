@@ -140,10 +140,10 @@ class MaskedTask:
             losses = masked_cross_entropy(logits, labels, mask, self.unmasked_weight)
         metrics = {k: v for k, v in losses.items()}
         loss = losses["loss"]
-        aux = pop_router_aux(new_model_state)
-        if aux is not None:
-            loss = loss + self.backbone_config.router_aux_weight * aux
-            metrics["router_aux"] = aux
+        router = pop_router_aux(new_model_state)
+        if router is not None:
+            loss = loss + self.backbone_config.router_aux_weight * router["router_aux"]
+            metrics.update(router)
             metrics["loss"] = loss
         return loss, (new_model_state, metrics)
 

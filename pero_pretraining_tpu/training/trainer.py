@@ -32,6 +32,7 @@ from pero_pretraining_tpu.configs import TrainingConfig
 from pero_pretraining_tpu.parallel.mesh import local_mesh
 from pero_pretraining_tpu.parallel.sharding import (
     fsdp_param_shardings,
+    opt_state_shardings_like_params,
     param_shardings,
     replicated,
     shard_batch,
@@ -182,12 +183,21 @@ class Trainer:
         """(Re-)place a host-resident state (e.g. just loaded from a
         checkpoint) with this trainer's shardings, so resumed runs keep the
         tensor-parallel param layout and the ZeRO-1 optimizer partitioning."""
-        params = jax.device_put(state.params, self._param_shardings(state.params))
+        param_placements = self._param_shardings(state.params)
+        params = jax.device_put(state.params, param_placements)
         if getattr(self.config, "shard_opt_state", False):
             self._opt_shardings = zero1_opt_state_shardings(state.opt_state, params, self.mesh)
             opt_state = jax.device_put(state.opt_state, self._opt_shardings)
         else:
-            opt_state = jax.device_put(state.opt_state, replicated(self.mesh))
+            # moments inherit their param's layout (path-suffix match), the
+            # same layout jit(tx.init) gave them at init — resuming an FSDP
+            # (or TP) run must NOT replicate full-size moments per chip
+            opt_state = jax.device_put(
+                state.opt_state,
+                opt_state_shardings_like_params(
+                    state.opt_state, state.params, param_placements, self.mesh
+                ),
+            )
         return state.replace(
             params=params,
             model_state=jax.device_put(state.model_state, replicated(self.mesh)),
@@ -348,9 +358,13 @@ class Trainer:
         on_preempt(iteration, state) makes training PREEMPTION-SAFE: SIGTERM/
         SIGINT set a flag, the in-flight step finishes, the callback runs
         (checkpoint save in the CLIs) and fit returns — no partial update is
-        ever persisted, and `--start-iteration -1` resumes exactly. The
-        reference loses all progress since the last view step on preemption
-        (SURVEY.md §5: no failure story)."""
+        ever persisted, and `--start-iteration -1` resumes exactly. The flag
+        is polled both before pulling the next batch (so a signal arriving
+        while the iterator blocks still saves) and after each device call;
+        worst-case save latency is therefore one fused chunk — with
+        steps_per_call=K that is K steps, so pick K such that K steps fit the
+        platform's kill grace period. The reference loses all progress since
+        the last view step on preemption (SURVEY.md §5: no failure story)."""
         start = int(state.step) if start_iteration is None else start_iteration
         end = self.config.end_iteration if end_iteration is None else end_iteration
         view = self.config.view_step if view_step is None else view_step
@@ -389,9 +403,25 @@ class Trainer:
         trace_at = (start + profile_start) if profile_dir else None
         trace_until = None
 
+        def preempted() -> bool:
+            if preempt_signal["num"] is None:
+                return False
+            # finish-the-step-then-save: state is a consistent post-optimizer
+            # snapshot at `iteration`
+            print(f"preempted (signal {preempt_signal['num']}): saving at iteration {iteration}")
+            on_preempt(iteration, state)
+            return True
+
         iteration = start
         try:
             while iteration < end:
+                # poll BEFORE pull(): a SIGTERM arriving while the data
+                # iterator is blocked (stalled loader) must still reach the
+                # checkpoint save. NOTE preemption-save latency is bounded by
+                # one fused chunk — pick steps_per_call so chunk time fits the
+                # platform's kill grace period.
+                if preempted():
+                    break
                 if trace_at is not None and iteration >= trace_at:
                     jax.profiler.start_trace(profile_dir)
                     trace_until = iteration + profile_steps
@@ -404,13 +434,7 @@ class Trainer:
                 iteration += chunk
                 count += chunk
 
-                if preempt_signal["num"] is not None:
-                    # finish-the-step-then-save: state is a consistent
-                    # post-optimizer snapshot at `iteration`
-                    print(
-                        f"preempted (signal {preempt_signal['num']}): saving at iteration {iteration}"
-                    )
-                    on_preempt(iteration, state)
+                if preempted():
                     break
 
                 if trace_until is not None and iteration >= trace_until:

@@ -129,3 +129,50 @@ def test_fsdp_checkpoint_roundtrip_place_state(rng, tmp_path):
         jax.tree_util.tree_leaves(jax.device_get(resumed.params)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_fsdp_resume_keeps_opt_state_sharded(rng, tmp_path):
+    """place_state without --shard-opt-state must re-place the loaded Adam
+    moments with the FSDP param layout, not replicated() — replicating them
+    materializes full-size moments per chip, exactly the memory FSDP shards
+    away, and only on RESUME (advisor finding, round 2: a fresh run inherits
+    the sharded layout through jit(tx.init))."""
+    from pero_pretraining_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    assert len(jax.devices()) >= 8
+    cfg = TrainingConfig(learning_rate=1e-3, warmup_iterations=5, masking_prob=0.3, seed=0, fsdp=True)
+    mesh = create_mesh(MeshConfig(data=8))
+    batch = synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=64)
+
+    trainer = Trainer(MaskedTask(TINY_BACKBONE, TINY_HEAD, cfg), cfg, mesh=mesh)
+    state = trainer.init_state(batch)
+    state, _ = trainer.train_step(state, batch)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(state, path)
+
+    trainer2 = Trainer(MaskedTask(TINY_BACKBONE, TINY_HEAD, cfg), cfg, mesh=mesh)
+    template = trainer2.init_state(batch)
+    resumed = trainer2.place_state(load_checkpoint(template, path))
+
+    # find the fc1 kernel's mu moment and assert it is physically sharded
+    # (the 1-D bias keeps its rule spec and has no free dim to shard)
+    def moment_leaves(tree):
+        return [
+            (jax.tree_util.keystr(path), leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+            if "mu" in jax.tree_util.keystr(path)
+            and "fc1" in jax.tree_util.keystr(path)
+            and "kernel" in jax.tree_util.keystr(path)
+        ]
+
+    found = moment_leaves(resumed.opt_state)
+    assert found, "no fc1 mu moment found in opt_state"
+    for name, leaf in found:
+        assert leaf.addressable_shards[0].data.size < leaf.size, (
+            f"resumed moment {name} is fully replicated — FSDP resume would OOM "
+            f"where a fresh run does not (sharding: {leaf.sharding})"
+        )
+
+    # and the resumed run still steps with finite loss under donation
+    resumed, m = trainer2.train_step(resumed, batch)
+    assert np.isfinite(float(m["loss"]))

@@ -270,3 +270,16 @@ def test_pipeline_composes_with_train_many(rng):
         jax.tree_util.tree_leaves(jax.device_get(s2.params)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_stacked_with_tensor_parallel_raises(rng):
+    """stacked_blocks + mesh model>1 (pipe=1) must fail loudly: the stacked
+    sharding rule (P(pipe) on every block leaf) replaces the per-layer
+    MODEL_AXIS specs, so accepting it would silently replicate all encoder
+    weights — the user asks for TP and gets none (advisor finding, round 2)."""
+    cfg = BackboneConfig(**BASE, num_blocks=4, stacked_blocks=True)
+    mesh = create_mesh(MeshConfig(data=4, model=2))
+    batch = synthetic_masked_batch(rng, batch_size=8, width=256, num_labels=50)
+    trainer = Trainer(MaskedTask(cfg, TINY_HEAD, TINY_TRAIN, mesh=mesh), TINY_TRAIN, mesh=mesh)
+    with pytest.raises(ValueError, match="tensor parallelism"):
+        trainer.init_state(batch)
