@@ -62,6 +62,16 @@ def _bb_tag(args):
     return "" if bb == "vit" else f"_{bb}"
 
 
+def _ps_tag(args):
+    """Artifact/leg-key token for a non-default pretraining seed."""
+    ps = getattr(args, "pretrain_seed", None)
+    return "" if ps is None else f"_ps{ps}"
+
+
+def _pretrain_rng_seed(args):
+    return args.seed if args.pretrain_seed is None else args.pretrain_seed
+
+
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--stage", default="all",
@@ -70,9 +80,12 @@ def parse_args():
     p.add_argument("--n-test", type=int, default=240)
     p.add_argument("--budget", type=int, default=192, help="labeled-line budget (finetune/beam stages)")
     p.add_argument("--mode", default="pretrained", choices=("scratch", "pretrained"))
-    p.add_argument("--objective", default="masked", choices=("masked", "masked_dn", "vicreg", "ntxent"),
+    p.add_argument("--objective", default="masked",
+                   choices=("masked", "masked_dn", "vqvae", "vicreg", "ntxent"),
                    help="pretraining objective: masked = PQ-AE targets; masked_dn = PQ-AE over a "
-                        "DENOISING AE's features; vicreg/ntxent = joint embedding. Selects artifacts in later stages.")
+                        "DENOISING AE's features; vqvae = masked prediction of VQ-VAE codebook "
+                        "indices (BASELINE.json config 2; reference scripts/produce_vqvae_labels.py); "
+                        "vicreg/ntxent = joint embedding. Selects artifacts in later stages.")
     p.add_argument("--budgets", type=str, default="48,192", help="budgets for --stage all")
     p.add_argument("--ae-iterations", type=int, default=1500)
     p.add_argument("--pretrain-iterations", type=int, default=12000)
@@ -83,6 +96,11 @@ def parse_args():
     p.add_argument("--backbone-lr-scale", type=float, default=1.0)
     p.add_argument("--num-clusters", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrain-seed", type=int, default=None,
+                   help="seed for the PRETRAIN stage only (init + masking + batch order); the corpus "
+                        "and targets stay those of --seed so a second pretraining seed isolates "
+                        "pretraining-run variance. Suffixes the pretrained checkpoint and all "
+                        "downstream leg keys with _ps{N}.")
     p.add_argument("--finetune-seed", type=int, default=None,
                    help="seed for the fine-tune leg only (shuffling + init); decoupled from the "
                         "corpus/targets/pretrain seed so multi-seed legs share one corpus and one "
@@ -116,7 +134,8 @@ def _paths(args):
         "tst_tsv": os.path.join(d, "tst.tsv"),
         "ae_ckpt": os.path.join(d, "ae.msgpack"),
         "pretrained": os.path.join(
-            d, f"pretrained{'' if args.objective == 'masked' else '_' + args.objective}{_bb_tag(args)}.msgpack"),
+            d, f"pretrained{'' if args.objective == 'masked' else '_' + args.objective}{_bb_tag(args)}"
+               f"{_ps_tag(args)}.msgpack"),
         "summary": os.path.join(args.out, "rendered_summary.json"),
     }
 
@@ -209,6 +228,8 @@ def stage_targets(args):
 
     p = _paths(args)
     mesh = _mesh()
+    if args.objective == "vqvae":
+        return _targets_vqvae(args, p, mesh)
     dn = 0.3 if args.objective == "masked_dn" else 0.0
     suffix = "_dn" if dn else ""
     print(f"targets: AE tokenizer + k-means (PQ-AE{suffix})", flush=True)
@@ -258,6 +279,47 @@ def stage_targets(args):
         save_labels(labels, os.path.join(p["dir"], f"pqae{suffix}_labels.{split}"))
 
 
+def _targets_vqvae(args, p, mesh):
+    """VQ-VAE tokenizer targets (BASELINE.json config 2): train the VQ-VAE on
+    the unlabeled split, then write its codebook indices as per-frame labels
+    (reference: autoencoders/train.py + scripts/produce_vqvae_labels.py:27-46).
+    Reuses the production label path (scripts/produce_vqvae_labels.compute_labels)
+    so the study exercises the same code users run."""
+    import jax
+    import numpy as np
+
+    from pero_pretraining_tpu.configs import AutoencoderConfig, TrainingConfig, VQConfig
+    from pero_pretraining_tpu.data.batching import BatchCreator
+    from pero_pretraining_tpu.data.dataset import LinesDataset
+    from pero_pretraining_tpu.data.loader import DataLoader
+    from pero_pretraining_tpu.pipelines.autoencoder import AutoencoderTask
+    from pero_pretraining_tpu.scripts.common import init_dataset, save_labels
+    from pero_pretraining_tpu.scripts.produce_vqvae_labels import compute_labels
+    from pero_pretraining_tpu.training.checkpoint import save_checkpoint
+
+    print("targets: VQ-VAE tokenizer + codebook-index labels", flush=True)
+    vq_cfg = AutoencoderConfig(type="vqvae", base_channels=32, decoder_base_channels=128,
+                               vq=VQConfig(num_embeddings=args.num_clusters, embeddings_dim=64))
+    task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0,
+                                                  batch_size=16, seed=args.seed))
+    ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
+    loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+                        shuffle=True, num_workers=4)
+    _, state = run_trainer(task, loader, args.ae_iterations, mesh, "vqvae")
+    save_checkpoint(state, os.path.join(p["dir"], "vqvae_tok.msgpack"))
+
+    variables = {"params": jax.device_get(state.params), **jax.device_get(state.model_state)}
+    for split, lines_path in (("trn", p["trn_lines"]), ("tst", p["tst_lines"])):
+        loader = init_dataset(p["store"], lines_path, 16, max_width=WIDTH, num_workers=4)
+        labels = compute_labels(task.model, variables, loader)
+        save_labels(labels, os.path.join(p["dir"], f"vqvae_labels.{split}"))
+        if split == "trn":
+            used = len({l for line in labels.values() for l in line})
+            print(f"  codebook codes used on trn: {used}/{args.num_clusters}", flush=True)
+            _update_summary(p["summary"], "vqvae_tokenizer",
+                            {"codes_used": used, "num_embeddings": args.num_clusters})
+
+
 def stage_pretrain(args):
     from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, TrainingConfig
     from pero_pretraining_tpu.data.batching import BatchCreator
@@ -273,27 +335,29 @@ def stage_pretrain(args):
     mesh = _mesh()
     if args.objective in ("vicreg", "ntxent"):
         return _pretrain_joint(args, p, mesh, args.objective)
-    suffix = "_dn" if args.objective == "masked_dn" else ""
+    suffix = {"masked": "", "masked_dn": "_dn", "vqvae": "_vqvae"}[args.objective]
+    labels_prefix = "vqvae" if args.objective == "vqvae" else f"pqae{suffix}"
     bb = _backbone_dict(args)
-    print(f"pretrain: masked {bb['type']} on PQ-AE{suffix} labels", flush=True)
+    pt_seed = _pretrain_rng_seed(args)
+    print(f"pretrain: masked {bb['type']} on {labels_prefix} labels (seed {pt_seed})", flush=True)
     backbone_cfg = BackboneConfig(**bb)
     m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=args.pretrain_warmup, batch_size=16,
-                                masking_prob=0.3, seed=args.seed,
+                                masking_prob=0.3, seed=pt_seed,
                                 unmasked_weight=args.unmasked_weight if args.unmasked_weight > 0 else None)
     m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=bb["model_dim"], out_features=args.num_clusters),
                         m_training)
-    m_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"pqae{suffix}_labels.trn"), max_width=WIDTH)
-    m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+    m_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"{labels_prefix}_labels.trn"), max_width=WIDTH)
+    m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=pt_seed), batch_size=16,
                           shuffle=True, num_workers=4)
     _, m_state = run_trainer(m_task, m_loader, args.pretrain_iterations, mesh, "masked")
     save_checkpoint(m_state, p["pretrained"])
 
-    tst_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"pqae{suffix}_labels.tst"), max_width=WIDTH)
-    tst_loader = DataLoader(tst_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+    tst_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"{labels_prefix}_labels.tst"), max_width=WIDTH)
+    tst_loader = DataLoader(tst_ds, BatchCreator(pad_to=WIDTH, seed=pt_seed), batch_size=16,
                             shuffle=False, num_workers=4)
     m_result = Tester(m_task, tst_loader).test(m_state)
     print(f"  masked tst: loss {m_result['loss']:.4f}, top-1 err {m_result['errors_1']:.3f}", flush=True)
-    _update_summary(p["summary"], f"masked{suffix}{_bb_tag(args)}_test", m_result)
+    _update_summary(p["summary"], f"masked{suffix}{_bb_tag(args)}{_ps_tag(args)}_test", m_result)
     vis = MaskedVisualizer(m_task, tst_loader, show_masked_images=True)
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
 
@@ -314,11 +378,12 @@ def _pretrain_joint(args, p, mesh, loss_type):
     backbone_cfg = BackboneConfig(**bb)
     head_cfg = HeadConfig(type="mlp", in_features=bb["model_dim"], out_features=1024,
                           hidden_dim=1024, num_layers=3)
-    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=args.seed)
+    pt_seed = _pretrain_rng_seed(args)
+    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=pt_seed)
     task = JointEmbeddingTask(backbone_cfg, head_cfg, training, loss_type=loss_type)
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH, pair_images=True,
                       augmentations=build_augmentations("light"))
-    loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+    loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=pt_seed), batch_size=16,
                         shuffle=True, num_workers=4)
     _, state = run_trainer(task, loader, args.pretrain_iterations, mesh, loss_type)
     save_checkpoint(state, p["pretrained"])
@@ -392,7 +457,8 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
 
 def _leg_key(args):
     obj = "" if (args.mode == "scratch" or args.objective == "masked") else f"_{args.objective}"
-    key = f"{args.mode}{obj}{_bb_tag(args)}_{args.budget}"
+    ps = _ps_tag(args) if args.mode == "pretrained" else ""
+    key = f"{args.mode}{obj}{_bb_tag(args)}{ps}_{args.budget}"
     if args.mode == "pretrained" and args.backbone_lr_scale != 1.0:
         key += f"_bbs{args.backbone_lr_scale:g}"
     if args.finetune_iterations != 10000:
