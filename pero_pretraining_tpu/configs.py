@@ -57,6 +57,10 @@ class BackboneConfig:
     # pipeline_microbatches=0 means "use the pipe axis size"
     stacked_blocks: bool = False
     pipeline_microbatches: int = 0
+    # pipe=1 stacked execution: fully unroll the layer scan (restores XLA's
+    # cross-layer fusion, measured +50% over the rolled scan on the flagship
+    # — docs/bench_overheads.json); False = rolled scan for fast compiles
+    stacked_unroll: bool = True
 
     @classmethod
     def from_definition(cls, definition: dict) -> "BackboneConfig":
@@ -101,6 +105,13 @@ class VQConfig:
     commitment_cost: float = 0.25
     decay: float = 0.99  # decay > 0 selects EMA codebook updates
     epsilon: float = 1e-5
+    # dead-code restarts: re-seed codes whose EMA cluster size drops below
+    # this absolute threshold from random encoder outputs (0.0 = off, the
+    # reference-faithful default). Fixes codebook collapse — the failure the
+    # reference's utilization-reporting TODO (autoencoders/train.py:114)
+    # never got to diagnosing.
+    restart_threshold: float = 0.0
+    restart_seed: int = 0
 
 
 @dataclass(frozen=True)

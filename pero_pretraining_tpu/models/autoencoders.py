@@ -102,6 +102,16 @@ class VectorQuantizer(nn.Module):
     commitment_cost: float = 0.25
     decay: float = 0.99
     epsilon: float = 1e-5
+    # Dead-code restarts (beyond reference): codes whose EMA cluster size
+    # falls below this ABSOLUTE threshold are re-seeded from random encoder
+    # outputs of the current batch. 0.0 = off (reference-faithful EMA). The
+    # reference computes per-code usage `counts` but its utilization
+    # reporting is a TODO (autoencoders/train.py:114) — codebook collapse is
+    # exactly the failure that TODO was circling; restarts fix it at the
+    # source. Deterministic: keyed on a step counter carried in the `vq`
+    # collection, so runs reproduce bit-for-bit.
+    restart_threshold: float = 0.0
+    restart_seed: int = 0
 
     @nn.compact
     def __call__(self, inputs: jax.Array, *, train: bool = False):
@@ -122,6 +132,10 @@ class VectorQuantizer(nn.Module):
             ema_cluster_size = self.variable(
                 "vq", "ema_cluster_size", lambda *_: jnp.zeros(self.num_embeddings, jnp.float32), None, None
             )
+            if self.restart_threshold > 0.0:
+                restart_step = self.variable(
+                    "vq", "restart_step", lambda *_: jnp.zeros((), jnp.int32), None, None
+                )
             codebook = embedding.value
         else:
             scale = 1.0 / self.num_embeddings
@@ -141,6 +155,19 @@ class VectorQuantizer(nn.Module):
             # reference stores the SMOOTHED size (compounds across steps, :230-232)
             new_cluster = (new_cluster + self.epsilon) / (n + self.num_embeddings * self.epsilon) * n
             new_ema_w = ema_w.value * self.decay + (1.0 - self.decay) * dw
+            if self.restart_threshold > 0.0:
+                # re-seed dead codes from random encoder outputs of this batch
+                dead = new_cluster < self.restart_threshold  # (K,)
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(self.restart_seed), restart_step.value
+                )
+                rows = jax.random.randint(
+                    key, (self.num_embeddings,), 0, flat.shape[0]
+                )
+                seeds = jax.lax.stop_gradient(flat[rows])  # (K, D)
+                new_cluster = jnp.where(dead, 1.0, new_cluster)
+                new_ema_w = jnp.where(dead[:, None], seeds, new_ema_w)
+                restart_step.value = restart_step.value + 1
             ema_cluster_size.value = new_cluster
             ema_w.value = new_ema_w
             embedding.value = new_ema_w / new_cluster[:, None]
@@ -202,6 +229,8 @@ class VQVAE(nn.Module):
             commitment_cost=cfg.vq.commitment_cost,
             decay=cfg.vq.decay,
             epsilon=cfg.vq.epsilon,
+            restart_threshold=getattr(cfg.vq, "restart_threshold", 0.0),
+            restart_seed=getattr(cfg.vq, "restart_seed", 0),
         )
 
     def encode(self, images, *, train: bool = False):

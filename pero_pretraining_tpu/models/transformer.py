@@ -155,6 +155,8 @@ class PipelinedEncoderStack(nn.Module):
     mesh: Optional[Mesh] = None
     microbatches: int = 0
     remat: bool = False
+    # pipe=1 path: fully unroll the layer scan (BackboneConfig.stacked_unroll)
+    unroll: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -181,7 +183,10 @@ class PipelinedEncoderStack(nn.Module):
             return pipeline_apply(
                 template, stacked, x, mesh=self.mesh, microbatches=m, train=train, remat=self.remat
             )
-        return sequential_apply(template, stacked, x, train, remat=self.remat)
+        return sequential_apply(
+            template, stacked, x, train, remat=self.remat,
+            unroll=self.num_blocks if self.unroll else 1,
+        )
 
 
 class TransformerBackbone(nn.Module):
@@ -261,6 +266,7 @@ class TransformerBackbone(nn.Module):
                 mesh=self.mesh,
                 microbatches=cfg.pipeline_microbatches,
                 remat=cfg.remat,
+                unroll=cfg.stacked_unroll,
                 name="stack",
             )(x, train)
 

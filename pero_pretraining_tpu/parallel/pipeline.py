@@ -50,12 +50,19 @@ def unstack_block_params(stacked: Any, num_blocks: int) -> list:
 
 
 def sequential_apply(
-    template, stacked_params: Any, x: jax.Array, train: bool, *, remat: bool = False
+    template, stacked_params: Any, x: jax.Array, train: bool, *, remat: bool = False,
+    unroll: int = 1
 ) -> jax.Array:
     """Run the stacked block stack sequentially (single-device / pipe=1
     path): one lax.scan over the layer axis — same numerics as the pipeline,
-    same param layout, no collectives, and XLA compiles ONE block body
-    instead of L copies."""
+    same param layout, no collectives.
+
+    unroll: lax.scan unroll factor. A rolled scan (unroll=1) compiles ONE
+    block body but its dynamic layer-param slicing blocks XLA's cross-layer
+    fusion — measured -33.6%% on the flagship at pipe=1
+    (docs/bench_overheads.json). Full unroll (unroll=num_blocks, the default
+    via BackboneConfig.stacked_unroll) restores the fused schedule at the
+    cost of longer compiles."""
 
     def block(layer_params, h):
         return template.apply({"params": layer_params}, h, train)
@@ -66,7 +73,7 @@ def sequential_apply(
     def body(h, layer_params):
         return block(layer_params, h), None
 
-    out, _ = lax.scan(body, x, stacked_params)
+    out, _ = lax.scan(body, x, stacked_params, unroll=max(unroll, 1))
     return out
 
 

@@ -298,9 +298,16 @@ def _targets_vqvae(args, p, mesh):
     from pero_pretraining_tpu.training.checkpoint import save_checkpoint
 
     print("targets: VQ-VAE tokenizer + codebook-index labels", flush=True)
+    # lr 1e-4 + warmup (not the AE stage's 3e-4): the quantizer feedback loop
+    # (commitment pulls the encoder toward the codebook while EMA chases the
+    # encoder) is unstable at AE learning rates — measured: 3e-4 exploded the
+    # recon loss (0.12 -> 794) and collapsed the codebook to 2/128 codes.
+    # restart_threshold re-seeds dead codes from batch activations so the
+    # codebook stays live (see VQConfig).
     vq_cfg = AutoencoderConfig(type="vqvae", base_channels=32, decoder_base_channels=128,
-                               vq=VQConfig(num_embeddings=args.num_clusters, embeddings_dim=64))
-    task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0,
+                               vq=VQConfig(num_embeddings=args.num_clusters, embeddings_dim=64,
+                                           restart_threshold=1.0))
+    task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=1e-4, warmup_iterations=500,
                                                   batch_size=16, seed=args.seed))
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
     loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
