@@ -57,9 +57,10 @@ class BackboneConfig:
     # pipeline_microbatches=0 means "use the pipe axis size"
     stacked_blocks: bool = False
     pipeline_microbatches: int = 0
-    # pipe=1 stacked execution: fully unroll the layer scan (restores XLA's
-    # cross-layer fusion, measured +50% over the rolled scan on the flagship
-    # — docs/bench_overheads.json); False = rolled scan for fast compiles
+    # pipe=1 stacked execution: fully unroll the layer scan (recovers XLA's
+    # cross-layer fusion, measured +34% over the rolled scan on the flagship,
+    # -11% vs unstacked — docs/bench_overheads.json); False = rolled scan
+    # for fast compiles
     stacked_unroll: bool = True
 
     @classmethod

@@ -59,10 +59,11 @@ def sequential_apply(
 
     unroll: lax.scan unroll factor. A rolled scan (unroll=1) compiles ONE
     block body but its dynamic layer-param slicing blocks XLA's cross-layer
-    fusion — measured -33.6%% on the flagship at pipe=1
-    (docs/bench_overheads.json). Full unroll (unroll=num_blocks, the default
-    via BackboneConfig.stacked_unroll) restores the fused schedule at the
-    cost of longer compiles."""
+    fusion — measured -33.6% on the flagship at pipe=1. Full unroll
+    (unroll=num_blocks, the default via BackboneConfig.stacked_unroll)
+    recovers most of it: 1945 -> 2609 lines/s, leaving -11.0% vs the
+    unstacked default (docs/bench_overheads.json), at the cost of longer
+    compiles."""
 
     def block(layer_params, h):
         return template.apply({"params": layer_params}, h, train)

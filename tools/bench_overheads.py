@@ -102,7 +102,12 @@ def main():
                    default="baseline,ring_seq1,stacked_pipe1,moe_1expert,fsdp_data1,zero1_data1")
     args = p.parse_args()
 
+    # merge with prior results so partial re-runs (e.g. one leg after a fix)
+    # keep the rest of the table
     results = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            results = json.load(f).get("lines_per_sec", {})
     for leg in args.legs.split(","):
         rate = measure_leg(leg, args.trials)
         results[leg] = round(rate, 2)
