@@ -113,6 +113,10 @@ class VQConfig:
     # never got to diagnosing.
     restart_threshold: float = 0.0
     restart_seed: int = 0
+    # initialize the codebook from (jittered) encoder outputs of the init
+    # batch instead of normal(1.0) — removes the init-scale mismatch that
+    # drives early codebook collapse (see VectorQuantizer.data_init)
+    data_init: bool = False
 
 
 @dataclass(frozen=True)

@@ -112,6 +112,15 @@ class VectorQuantizer(nn.Module):
     # collection, so runs reproduce bit-for-bit.
     restart_threshold: float = 0.0
     restart_seed: int = 0
+    # Data-dependent codebook init (beyond reference): initialize the
+    # codebook from (jittered) encoder outputs of the init batch instead of
+    # normal(1.0). The normal init's code norms (~sqrt(D)) dwarf the
+    # encoder-output blob, so a handful of closest codes win every
+    # assignment from step 0 and EMA locks the collapse in (observed:
+    # 7/128 codes used on the 50k tokenizer even with restarts). Starting
+    # the codebook ON-distribution removes the scale mismatch. Off by
+    # default (reference-faithful init).
+    data_init: bool = False
 
     @nn.compact
     def __call__(self, inputs: jax.Array, *, train: bool = False):
@@ -120,17 +129,40 @@ class VectorQuantizer(nn.Module):
         flat = inputs.reshape(-1, self.embeddings_dim).astype(jnp.float32)
 
         if self.decay > 0.0:
-            # EMA mode: normal-init codebook + EMA accumulators, all non-param state
+            # EMA mode: codebook + EMA accumulators, all non-param state
+            if self.data_init:
+                def _init_from_data(key, _shape):
+                    rows = jax.random.randint(key, (self.num_embeddings,), 0, flat.shape[0])
+                    seeds = jax.lax.stop_gradient(flat[rows])
+                    # jitter breaks ties between duplicate rows (e.g. the
+                    # many identical whitespace frames of padded lines)
+                    jitter = 0.01 * jnp.std(flat) * jax.random.normal(
+                        jax.random.fold_in(key, 1), seeds.shape
+                    )
+                    return seeds + jitter
+                codebook_init = _init_from_data
+                # cluster sizes start at 1 so step-1 embedding = ema_w /
+                # cluster stays ~on-distribution instead of the reference
+                # init's large first-step transient
+                cluster_init = lambda *_: jnp.ones(self.num_embeddings, jnp.float32)
+            else:
+                codebook_init = nn.initializers.normal(1.0)
+                cluster_init = lambda *_: jnp.zeros(self.num_embeddings, jnp.float32)
             embedding = self.variable(
-                "vq", "embedding", nn.initializers.normal(1.0), self.make_rng("params") if self.is_initializing() else None,
+                "vq", "embedding", codebook_init, self.make_rng("params") if self.is_initializing() else None,
                 (self.num_embeddings, self.embeddings_dim),
             )
+            # ema_w starts as a copy of the codebook so embedding ==
+            # ema_w / cluster holds from step 0 in data_init mode (the
+            # reference draws it independently; with cluster_init=0 its
+            # value never matters before the first update overwrites it)
             ema_w = self.variable(
-                "vq", "ema_w", nn.initializers.normal(1.0), self.make_rng("params") if self.is_initializing() else None,
+                "vq", "ema_w", (lambda *_: embedding.value) if self.data_init else codebook_init,
+                self.make_rng("params") if self.is_initializing() else None,
                 (self.num_embeddings, self.embeddings_dim),
             )
             ema_cluster_size = self.variable(
-                "vq", "ema_cluster_size", lambda *_: jnp.zeros(self.num_embeddings, jnp.float32), None, None
+                "vq", "ema_cluster_size", cluster_init, None, None
             )
             if self.restart_threshold > 0.0:
                 restart_step = self.variable(
@@ -165,6 +197,12 @@ class VectorQuantizer(nn.Module):
                     key, (self.num_embeddings,), 0, flat.shape[0]
                 )
                 seeds = jax.lax.stop_gradient(flat[rows])  # (K, D)
+                # jitter breaks ties between duplicate rows (whitespace
+                # frames): without it several dead codes land on identical
+                # points, only the lowest index ever wins, the rest re-die
+                seeds = seeds + 0.01 * jnp.std(flat) * jax.random.normal(
+                    jax.random.fold_in(key, 1), seeds.shape
+                )
                 new_cluster = jnp.where(dead, 1.0, new_cluster)
                 new_ema_w = jnp.where(dead[:, None], seeds, new_ema_w)
                 restart_step.value = restart_step.value + 1
@@ -231,6 +269,7 @@ class VQVAE(nn.Module):
             epsilon=cfg.vq.epsilon,
             restart_threshold=getattr(cfg.vq, "restart_threshold", 0.0),
             restart_seed=getattr(cfg.vq, "restart_seed", 0),
+            data_init=getattr(cfg.vq, "data_init", False),
         )
 
     def encode(self, images, *, train: bool = False):

@@ -92,3 +92,24 @@ def test_restarts_off_is_reference_faithful():
     np.testing.assert_array_equal(
         np.asarray(outs[0.0]["embedding"]), np.asarray(outs[-1.0]["embedding"])
     )
+
+
+def test_data_init_starts_on_distribution():
+    """data_init codebook = jittered batch rows: embedding == ema_w, cluster
+    sizes start at 1, and utilization is immediately high on collapsing data
+    (the normal(1.0) init uses <=3 codes on the same batch)."""
+    vq = VectorQuantizer(num_embeddings=16, embeddings_dim=4, decay=0.5, data_init=True)
+    key = jax.random.PRNGKey(0)
+    x = _collapsing_inputs(key)
+    variables = vq.init({"params": key}, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(variables["vq"]["embedding"]), np.asarray(variables["vq"]["ema_w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(variables["vq"]["ema_cluster_size"]), np.ones(16, np.float32)
+    )
+    used0 = _codes_used(vq, {"vq": variables["vq"]}, x)
+    assert used0 >= 8  # on-distribution from step 0
+    # and it STAYS diverse through EMA training
+    trained = _train_steps(vq, {"vq": variables["vq"]}, key)
+    assert _codes_used(vq, trained, _collapsing_inputs(jax.random.fold_in(key, 999))) >= 8

@@ -306,7 +306,7 @@ def _targets_vqvae(args, p, mesh):
     # codebook stays live (see VQConfig).
     vq_cfg = AutoencoderConfig(type="vqvae", base_channels=32, decoder_base_channels=128,
                                vq=VQConfig(num_embeddings=args.num_clusters, embeddings_dim=64,
-                                           restart_threshold=1.0))
+                                           restart_threshold=1.0, data_init=True))
     task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=1e-4, warmup_iterations=500,
                                                   batch_size=16, seed=args.seed))
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
