@@ -298,16 +298,21 @@ def _targets_vqvae(args, p, mesh):
     from pero_pretraining_tpu.training.checkpoint import save_checkpoint
 
     print("targets: VQ-VAE tokenizer + codebook-index labels", flush=True)
-    # lr 1e-4 + warmup (not the AE stage's 3e-4): the quantizer feedback loop
-    # (commitment pulls the encoder toward the codebook while EMA chases the
-    # encoder) is unstable at AE learning rates — measured: 3e-4 exploded the
-    # recon loss (0.12 -> 794) and collapsed the codebook to 2/128 codes.
-    # restart_threshold re-seeds dead codes from batch activations so the
-    # codebook stays live (see VQConfig).
+    # The quantizer feedback loop (commitment pulls the encoder toward the
+    # codebook while EMA chases the encoder) diverges under a sustained AE
+    # learning rate, with onset roughly inverse to lr — measured on this
+    # corpus: 3e-4 explodes by ~it-700 (recon 0.12 -> 794, codebook
+    # collapses to 2/128), 1e-4 diverges from ~it-3000 (0.032 -> 1.24). So:
+    # peak 5e-5 + warmup + COSINE decay — converged recon is reached by
+    # ~it-1000 anyway (0.034 measured) and the decaying tail keeps the loop
+    # below its instability threshold. data_init + restart_threshold keep
+    # the codebook live (see VQConfig).
     vq_cfg = AutoencoderConfig(type="vqvae", base_channels=32, decoder_base_channels=128,
                                vq=VQConfig(num_embeddings=args.num_clusters, embeddings_dim=64,
                                            restart_threshold=1.0, data_init=True))
-    task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=1e-4, warmup_iterations=500,
+    task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=5e-5, warmup_iterations=500,
+                                                  schedule="cosine", min_lr_fraction=0.05,
+                                                  end_iteration=args.ae_iterations,
                                                   batch_size=16, seed=args.seed))
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
     loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,

@@ -16,7 +16,7 @@ import sys
 from collections import defaultdict
 
 KEY_RE = re.compile(
-    r"^(?P<mode>(?:scratch|pretrained)(?:_[a-z_]+?)?)_(?P<budget>\d+)"
+    r"^(?P<mode>(?:scratch|pretrained)(?:_[a-z_]+?)?)(?:_ps(?P<pseed>\d+))?_(?P<budget>\d+)"
     r"(?:_bbs(?P<bbs>[\d.]+))?(?:_it(?P<iters>\d+))?(?:_s(?P<seed>\d+))?"
     r"(?P<beam>_beam_lm)?$"
 )
@@ -31,7 +31,10 @@ def parse(summary: dict):
         if not m or m.group("bbs"):
             continue
         seed = int(m.group("seed") or 0)
-        mode = m.group("mode") + (" +beam+LM" if m.group("beam") else "")
+        mode = m.group("mode")
+        if m.group("pseed"):  # pretraining-seed robustness legs: own row
+            mode += f" (pretrain seed {m.group('pseed')})"
+        mode += " +beam+LM" if m.group("beam") else ""
         legs[(mode, int(m.group("budget")))].append((seed, float(value["cer"])))
     return legs
 
