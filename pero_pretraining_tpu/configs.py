@@ -228,9 +228,11 @@ class TrainingConfig:
     # N > 0: skip (zero) optimizer updates when grads are non-finite; the
     # Trainer aborts loudly after N consecutive skipped steps; 0 = off
     skip_nonfinite: int = 0
-    # Adam moment storage: "float32" (default) or "bfloat16" (halves the
+    # Adam moment storage: "float32" (default), "bfloat16" (halves the
     # optimizer-state HBM traffic — the fused Adam update is 34.5% of the
-    # flagship step at HBM roofline; see docs/PROFILE.md)
+    # flagship step at HBM roofline; see docs/PROFILE.md), or "int8"
+    # (blockwise-quantized moments, 4x less traffic / 2 bytes per param of
+    # optimizer state; trainer.py::scale_by_adam_8bit)
     moments_dtype: str = "float32"
     # ZeRO-1: partition optimizer state (Adam moments) over the `data` mesh
     # axis — GSPMD reduce-scatters grads into the update and all-gathers the

@@ -21,7 +21,7 @@ TPU design points:
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Iterable, Iterator, Optional
+from typing import Any, Callable, Iterable, Iterator, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +78,141 @@ def scale_by_adam_lowmem(
     return optax.GradientTransformation(init, update)
 
 
+class ScaleByAdam8bitState(NamedTuple):
+    """Blockwise 8-bit Adam moment state. `mu_q`/`nu_q` are trees of
+    param-SHAPED int8/uint8 tensors (so the ZeRO-1/FSDP path-suffix sharding
+    match applies to them unchanged); `mu_scale`/`nu_scale` hold one fp32
+    absmax per block of the trailing axis (~1/block_size the elements —
+    replicated placement is fine)."""
+
+    count: Any
+    mu_q: Any
+    mu_scale: Any
+    nu_q: Any
+    nu_scale: Any
+
+
+def _q8_block(shape, block: int = 256) -> int:
+    """Quantization block along the trailing axis: largest of {256,128} that
+    divides it, else the whole axis (always valid). Static per leaf."""
+    last = shape[-1] if shape else 1
+    for b in (block, 128):
+        if last % b == 0 and last >= b:
+            return b
+    return last
+
+
+def _q8_encode(x, unsigned: bool, block: int = 256):
+    """fp32 tensor -> (q8 same-shape, per-block absmax scales).
+
+    Symmetric linear quantization per block of the trailing axis: int8
+    levels [-127,127] (signed, first moment) or uint8 [0,255] (nonnegative,
+    sqrt-second-moment). All-zero blocks encode exactly (scale kept, q=0)."""
+    b = _q8_block(x.shape, block)
+    xb = x.reshape(x.shape[:-1] + (x.shape[-1] // b, b))
+    scale = jnp.max(jnp.abs(xb), axis=-1)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    levels, dtype = (255.0, jnp.uint8) if unsigned else (127.0, jnp.int8)
+    q = jnp.round(xb / safe[..., None] * levels)
+    q = jnp.clip(q, 0.0 if unsigned else -levels, levels).astype(dtype)
+    return q.reshape(x.shape), scale
+
+
+def _q8_decode(q, scale, unsigned: bool, block: int = 256):
+    b = _q8_block(q.shape, block)
+    levels = 255.0 if unsigned else 127.0
+    qb = q.reshape(q.shape[:-1] + (q.shape[-1] // b, b)).astype(jnp.float32)
+    return (qb * (scale[..., None] / levels)).reshape(q.shape)
+
+
+def scale_by_adam_8bit(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, block: int = 256
+) -> optax.GradientTransformation:
+    """Adam with blockwise 8-BIT moment storage (compute stays fp32).
+
+    The flagship trace (docs/PROFILE.md) has the fused Adam update at the HBM
+    roofline — the only single-chip lever is moving fewer bytes, and after
+    `--moments-dtype bfloat16` (+5.3%) the remaining moment traffic is still
+    2x the 8-bit floor. Scheme (the bitsandbytes blockwise recipe, built
+    TPU-native as fusable elementwise ops — no gathers, static shapes):
+
+    - first moment m: symmetric int8, per-(trailing-axis block of 256) fp32
+      absmax scale; quantization error <=0.4% of the block absmax per step,
+      the same order as bf16 moments;
+    - second moment v: stored as sqrt(v) in uint8 per-block — sqrt halves the
+      dynamic range the 8 bits must span, and sqrt(v) is exactly the quantity
+      the update divides by, so the error lands where it is measured;
+    - the update direction is computed from the FRESH fp32 m/v (quantization
+      applies to what is STORED, not what is applied) — step 1 is bit-equal
+      to fp32 Adam, steady-state direction error is O(0.5%);
+    - moments keep the PARAM's shape and tree structure, so ZeRO-1/FSDP
+      sharding (path-suffix match, parallel/sharding.py) and checkpointing
+      apply unchanged; scales are ~1/256 the elements and stay replicated.
+
+    Memory: 2 bytes/param optimizer state vs 8 (fp32) / 4 (bf16); at the
+    docs/SCALING.md 234M-param FSDP config that is 1.87 GB -> 0.47 GB of
+    moments. Opt-in via --moments-dtype int8."""
+
+    def init(params):
+        def zeros(p):
+            shape = tuple(p.shape)
+            if not shape:  # scalar params: keep a degenerate 1-block layout
+                shape = (1,)
+            b = _q8_block(shape, block)
+            sshape = shape[:-1] + (shape[-1] // b,)
+            return shape, sshape
+
+        mu_q = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(zeros(p)[0], jnp.int8), params
+        )
+        nu_q = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(zeros(p)[0], jnp.uint8), params
+        )
+        mu_s = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(zeros(p)[1], jnp.float32), params
+        )
+        nu_s = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(zeros(p)[1], jnp.float32), params
+        )
+        return ScaleByAdam8bitState(
+            count=jnp.zeros([], jnp.int32), mu_q=mu_q, mu_scale=mu_s, nu_q=nu_q, nu_scale=nu_s
+        )
+
+    def update(grads, state, params=None):
+        del params
+
+        def fresh(mq, ms, nq, ns, g):
+            g32 = g.astype(jnp.float32)
+            flat = g32.reshape((-1,)) if not g.shape else g32
+            m = b1 * _q8_decode(mq, ms, False, block) + (1 - b1) * flat
+            r = _q8_decode(nq, ns, True, block)  # sqrt(v)
+            v = b2 * jnp.square(r) + (1 - b2) * jnp.square(flat)
+            return m, v
+
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def one(mq, ms, nq, ns, g):
+            m, v = fresh(mq, ms, nq, ns, g)
+            upd = ((m / c1) / (jnp.sqrt(v / c2) + eps)).astype(g.dtype)
+            upd = upd.reshape(g.shape)
+            new_mq, new_ms = _q8_encode(m, False, block)
+            new_nq, new_ns = _q8_encode(jnp.sqrt(v), True, block)
+            return upd, new_mq, new_ms, new_nq, new_ns
+
+        out = jax.tree_util.tree_map(one, state.mu_q, state.mu_scale, state.nu_q, state.nu_scale, grads)
+        treedef = jax.tree_util.tree_structure(grads)
+        pick = lambda i: jax.tree_util.tree_unflatten(
+            treedef, [leaf[i] for leaf in jax.tree_util.tree_leaves(out, is_leaf=lambda x: isinstance(x, tuple))]
+        )
+        return pick(0), ScaleByAdam8bitState(
+            count=count, mu_q=pick(1), mu_scale=pick(2), nu_q=pick(3), nu_scale=pick(4)
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransformation:
     """Optimizer from TrainingConfig: Adam (the reference optimizer,
     masked_pretraining/train.py:146) or AdamW when weight_decay > 0, with
@@ -93,8 +228,8 @@ def build_optimizer(config: TrainingConfig, schedule) -> optax.GradientTransform
         # backbone_lr_scale != 1 the backbone group's decay scales by the
         # same factor.
         mask = lambda params: jax.tree_util.tree_map(lambda p: jnp.ndim(p) >= 2, params)
-        if moments == "bfloat16":
-            parts = [scale_by_adam_lowmem()]
+        if moments in ("bfloat16", "int8"):
+            parts = [scale_by_adam_lowmem() if moments == "bfloat16" else scale_by_adam_8bit()]
             if wd > 0:
                 parts.append(optax.add_decayed_weights(wd, mask=mask))
             parts.append(optax.scale_by_learning_rate(lr_schedule))
