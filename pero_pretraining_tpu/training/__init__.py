@@ -1,6 +1,6 @@
 from pero_pretraining_tpu.training.schedules import warmup_polynomial_schedule
 from pero_pretraining_tpu.training.state import TrainState
-from pero_pretraining_tpu.training.trainer import Trainer
+from pero_pretraining_tpu.training.trainer import Trainer, scale_by_adam_8bit, scale_by_adam_lowmem
 from pero_pretraining_tpu.training.checkpoint import (
     get_checkpoint_path,
     get_visualization_path,
@@ -12,6 +12,8 @@ __all__ = [
     "warmup_polynomial_schedule",
     "TrainState",
     "Trainer",
+    "scale_by_adam_8bit",
+    "scale_by_adam_lowmem",
     "get_checkpoint_path",
     "get_visualization_path",
     "save_checkpoint",

@@ -311,6 +311,16 @@ class Trainer:
         if getattr(self.config, "shard_opt_state", False):
             self._opt_shardings = zero1_opt_state_shardings(opt_state, params, self.mesh)
             opt_state = jax.device_put(opt_state, self._opt_shardings)
+        else:
+            # pin moments to their param's layout explicitly (path-suffix
+            # match): GSPMD's propagation through jit(tx.init) covers
+            # zeros_like-style moments but NOT shape-constructed ones (the
+            # int8 state builds from shapes), and FSDP must never start with
+            # replicated full-size moments
+            opt_state = jax.device_put(
+                opt_state,
+                opt_state_shardings_like_params(opt_state, params, shardings, self.mesh),
+            )
 
         return TrainState.create(params, model_state, opt_state, self.config.seed)
 

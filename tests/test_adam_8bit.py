@@ -169,3 +169,46 @@ def test_zero1_shards_int8_moments():
     s2, _ = single.train_step(s_state, batch)
     for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+
+def test_fsdp_composes_with_int8_moments():
+    """FSDP + int8 moments is the production memory combo: param-sharded
+    layout must carry over to the int8 moment leaves (they keep the param's
+    shape, so jit(tx.init) gives them the FSDP placement), and the step must
+    equal single-device training."""
+    from pero_pretraining_tpu.configs import MeshConfig
+    from pero_pretraining_tpu.parallel.mesh import create_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = create_mesh(MeshConfig(data=4), devices=jax.devices()[:4])
+    training = TrainingConfig(learning_rate=1e-3, warmup_iterations=5, masking_prob=0.2,
+                              seed=0, moments_dtype="int8", fsdp=True)
+    task = MaskedTask(BACKBONE, HEAD, training)
+    trainer = Trainer(task, training, mesh=mesh)
+    batch = synthetic_masked_batch(np.random.RandomState(7), batch_size=8, width=256, num_labels=128)
+    state = trainer.init_state(batch)
+
+    partitioned = [
+        l for l in jax.tree_util.tree_leaves(state.opt_state)
+        if getattr(l, "dtype", None) == jnp.int8.dtype and l.ndim >= 1
+        and len(l.addressable_shards) and l.addressable_shards[0].data.size < l.size
+    ]
+    assert partitioned, "FSDP did not partition the int8 moment leaves"
+
+    single = _make_trainer()
+    s_state = single.init_state(batch)
+    s1, _ = trainer.train_step(state, batch)
+    s2, _ = single.train_step(s_state, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6)
+
+    # FSDP resume: place_state must keep the int8 moments partitioned
+    host = jax.device_get(s1)
+    placed = trainer.place_state(host)
+    still = [
+        l for l in jax.tree_util.tree_leaves(placed.opt_state)
+        if getattr(l, "dtype", None) == jnp.int8.dtype and l.ndim >= 1
+        and len(l.addressable_shards) and l.addressable_shards[0].data.size < l.size
+    ]
+    assert still, "place_state replicated the int8 moments on FSDP resume"

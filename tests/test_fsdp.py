@@ -7,6 +7,7 @@ equality with replicated-parameter training.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
@@ -45,6 +46,17 @@ def test_fsdp_train_step_matches_replicated(rng):
     assert "data" in tuple(fc1.sharding.spec), f"fc1 not data-sharded: {fc1.sharding.spec}"
     shard_bytes = fc1.addressable_shards[0].data.nbytes
     assert shard_bytes * 8 == fc1.nbytes, "per-chip residency did not divide by 8"
+
+    # ... and so must the Adam moments AT INIT (GSPMD propagation through
+    # jit(tx.init) is not guaranteed; init_state pins moments to their
+    # param's placement explicitly — the 234M memory bench measured
+    # replicated-moment init costing 1.86 vs 0.33 GiB/device)
+    moment_matrices = [
+        l for l in jax.tree_util.tree_leaves(s8.opt_state)
+        if getattr(l, "ndim", 0) >= 2 and l.dtype == jnp.float32
+        and len(l.addressable_shards) and l.addressable_shards[0].data.size < l.size
+    ]
+    assert moment_matrices, "no Adam moment was physically partitioned at FSDP init"
 
     s8, m8 = t8.train_step(s8, batch)
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)

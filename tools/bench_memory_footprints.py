@@ -30,6 +30,16 @@ import numpy as np
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# force the 8-virtual-device CPU platform even when sitecustomize pins the
+# TPU plugin (env JAX_PLATFORMS alone is not enough; see tests/conftest.py)
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 OUT_PATH = os.path.join(_HERE, "..", "docs", "bench_memory.json")
 
@@ -139,14 +149,50 @@ def _fsdp_leg():
     return out
 
 
+def _moments_leg():
+    """Optimizer-state bytes for the 234M config under the three moment
+    storage modes (--moments-dtype float32/bfloat16/int8). Physical nbytes of
+    the real state tree, including the int8 blockwise scales overhead."""
+    import jax
+
+    from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
+    from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch
+    from pero_pretraining_tpu.parallel.mesh import create_mesh
+    from pero_pretraining_tpu.pipelines.masked import MaskedTask
+    from pero_pretraining_tpu.training.trainer import Trainer
+
+    bb = BackboneConfig(type="vit", model_dim=1536, num_heads=8, num_blocks=8,
+                        feedforward_dim=6144, max_len=512)
+    head = HeadConfig(in_features=1536, out_features=4096)
+    rng = np.random.RandomState(0)
+    batch = synthetic_masked_batch(rng, batch_size=8, width=2048, num_labels=4096)
+    mesh = create_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+
+    out = {}
+    for dtype in ("float32", "bfloat16", "int8"):
+        cfg = TrainingConfig(masking_prob=0.15, seed=0, moments_dtype=dtype)
+        task = MaskedTask(bb, head, cfg, mesh=mesh)
+        state = Trainer(task, cfg, mesh=mesh).init_state(batch)
+        opt_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(state.opt_state))
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+        out[dtype] = {"opt_state_gib": round(opt_bytes / GIB, 3),
+                      "bytes_per_param": round(opt_bytes / n_params, 2)}
+        out["n_params"] = int(n_params)
+        del state, task
+    out["config"] = "masked ViT d1536 h8 L8 ff6144 v4096 (234M), Adam"
+    print(f"moments leg: {out}", flush=True)
+    return out
+
+
 def main():
-    report = {"ring": _ring_leg(), "fsdp": _fsdp_leg()}
+    report = {"ring": _ring_leg(), "fsdp": _fsdp_leg(), "moments": _moments_leg()}
     with open(OUT_PATH, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({
         "ring_xla_temp_gib": report["ring"]["xla_attention_data8"]["temp_gib_per_device"],
         "ring_ring_temp_gib": report["ring"]["ring_attention_seq8"]["temp_gib_per_device"],
         "fsdp_reduction_x": report["fsdp"]["reduction_x"],
+        "moments_int8_bytes_per_param": report["moments"]["int8"]["bytes_per_param"],
     }))
 
 

@@ -113,6 +113,11 @@ def parse_args():
                         "(the reference's --unmasked-weight, masked_pretraining/train.py:38). Dense "
                         "supervision removes the ~18k-iteration loss plateau the mask-only objective "
                         "shows on this corpus (docs/RENDERED_EXPERIMENT.md); 0 disables.")
+    p.add_argument("--chunk-iterations", type=int, default=0,
+                   help="Pretrain at most N iterations per process invocation, persisting a "
+                        ".part checkpoint (same data order as a monolithic run); re-invoke the "
+                        "stage until done. 0 = monolithic. Works around per-step host-memory "
+                        "accumulation on tunneled transports.")
     p.add_argument("--pretrain-warmup", type=int, default=1000,
                    help="LR warmup iterations for the pretrain stage")
     p.add_argument("--out", type=str, default=OUT)
@@ -167,11 +172,28 @@ def _stream(loader):
         yield from (numeric_batch(b) for b in loader)
 
 
-def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
+def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10, part_path=None, chunk=0):
+    """Train `iterations` steps; with (part_path, chunk) set, run at most
+    `chunk` steps per PROCESS and persist a part checkpoint — the axon client
+    accumulates host memory per step (~2.5 MB/step observed; a 48k-step
+    process crawls past ~70 GB RES), so long pretrains are split into
+    re-invocations of the same stage. Data order is IDENTICAL to the
+    monolithic run: the monolithic path consumes scratch epoch 0 for
+    init_state then trains on epochs 1,2,..., which is exactly
+    loader.stream(len(loader) + done)."""
+    import jax as _jax
+
+    from pero_pretraining_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from pero_pretraining_tpu.training.tester import numeric_batch
     from pero_pretraining_tpu.training.trainer import Trainer
 
     trainer = Trainer(task, task.training_config, mesh=mesh)
     state = trainer.init_state(next(iter(loader)))
+    start = 0
+    if part_path and os.path.exists(part_path):
+        state = trainer.place_state(load_checkpoint(_jax.device_get(state), part_path))
+        start = int(state.step)
+        print(f"  {log_name}: resumed part checkpoint at it {start}", flush=True)
 
     # live train-loss heartbeat so multi-hour stages are observable (a
     # stalled-plateau run should be visible long before its final eval)
@@ -183,8 +205,21 @@ def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10):
 
     trainer.on_view_step = on_view
     t0 = time.time()
-    state = trainer.fit(state, _stream(loader), start_iteration=0, end_iteration=iterations,
-                        view_step=max(iterations // 12, 500), steps_per_call=steps_per_call)
+    end = min(iterations, start + chunk) if chunk else iterations
+    if start < end:
+        if part_path is not None:
+            batches = (numeric_batch(b) for b in loader.stream(len(loader) + start))
+        else:
+            batches = _stream(loader)
+        state = trainer.fit(state, batches, start_iteration=start, end_iteration=end,
+                            view_step=max(iterations // 12, 500), steps_per_call=steps_per_call)
+    if part_path and end < iterations:
+        save_checkpoint(state, part_path)
+        print(f"  {log_name}: part {end}/{iterations} in {time.time() - t0:.1f}s; rerun stage to continue",
+              flush=True)
+        return trainer, state
+    if part_path and os.path.exists(part_path):
+        os.remove(part_path)
     print(f"  {log_name}: {iterations} iters in {time.time() - t0:.1f}s", flush=True)
     return trainer, state
 
@@ -345,6 +380,9 @@ def stage_pretrain(args):
 
     p = _paths(args)
     mesh = _mesh()
+    if args.chunk_iterations and os.path.exists(p["pretrained"]):
+        print(f"pretrain: {p['pretrained']} exists, skipping", flush=True)
+        return
     if args.objective in ("vicreg", "ntxent"):
         return _pretrain_joint(args, p, mesh, args.objective)
     suffix = {"masked": "", "masked_dn": "_dn", "vqvae": "_vqvae"}[args.objective]
@@ -361,7 +399,11 @@ def stage_pretrain(args):
     m_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"{labels_prefix}_labels.trn"), max_width=WIDTH)
     m_loader = DataLoader(m_ds, BatchCreator(pad_to=WIDTH, seed=pt_seed), batch_size=16,
                           shuffle=True, num_workers=4)
-    _, m_state = run_trainer(m_task, m_loader, args.pretrain_iterations, mesh, "masked")
+    part = (p["pretrained"] + ".part") if args.chunk_iterations else None
+    _, m_state = run_trainer(m_task, m_loader, args.pretrain_iterations, mesh, "masked",
+                             part_path=part, chunk=args.chunk_iterations)
+    if int(m_state.step) < args.pretrain_iterations:
+        return  # part checkpoint saved; re-invoke the stage to continue
     save_checkpoint(m_state, p["pretrained"])
 
     tst_ds = LinesDataset(p["store"], os.path.join(p["dir"], f"{labels_prefix}_labels.tst"), max_width=WIDTH)
@@ -397,7 +439,11 @@ def _pretrain_joint(args, p, mesh, loss_type):
                       augmentations=build_augmentations("light"))
     loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=pt_seed), batch_size=16,
                         shuffle=True, num_workers=4)
-    _, state = run_trainer(task, loader, args.pretrain_iterations, mesh, loss_type)
+    part = (p["pretrained"] + ".part") if args.chunk_iterations else None
+    _, state = run_trainer(task, loader, args.pretrain_iterations, mesh, loss_type,
+                           part_path=part, chunk=args.chunk_iterations)
+    if int(state.step) < args.pretrain_iterations:
+        return  # part checkpoint saved; re-invoke the stage to continue
     save_checkpoint(state, p["pretrained"])
 
 

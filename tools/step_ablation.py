@@ -76,7 +76,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=24, help="optimizer steps fused per timed program")
     p.add_argument("--trials", type=int, default=3)
-    p.add_argument("--variants", default="base,flash,remat,fused_ce,fp32,bf16_moments")
+    p.add_argument("--variants", default="base,flash,remat,fused_ce,fp32,bf16_moments,int8_moments")
     args = p.parse_args()
     wanted = set(args.variants.split(","))
 
@@ -92,6 +92,8 @@ def main():
         time_variant("fp32", args.steps, args.trials, bfloat16=False)
     if "bf16_moments" in wanted:
         time_variant("bf16-moments", args.steps, args.trials, moments_dtype="bfloat16")
+    if "int8_moments" in wanted:
+        time_variant("int8-moments", args.steps, args.trials, moments_dtype="int8")
     return 0
 
 
