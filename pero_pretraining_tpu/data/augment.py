@@ -32,13 +32,19 @@ class PhotometricAugment:
         self.blur_prob = blur_prob
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, image: np.ndarray) -> np.ndarray:
+    def __call__(self, image: np.ndarray, rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        # The loaders pass a per-item rng derived from (seed, global batch
+        # index, position) so augmented content is a pure function of the
+        # stream position — independent of thread scheduling, process count,
+        # and resume point. self.rng is the fallback for direct calls.
+        if rng is None:
+            rng = self.rng
         img = image.astype(np.float32)
-        img = img * (1.0 + self.rng.uniform(-self.contrast, self.contrast))
-        img = img + 255.0 * self.rng.uniform(-self.brightness, self.brightness)
+        img = img * (1.0 + rng.uniform(-self.contrast, self.contrast))
+        img = img + 255.0 * rng.uniform(-self.brightness, self.brightness)
         if self.noise_std > 0:
-            img = img + self.rng.randn(*img.shape).astype(np.float32) * self.noise_std
-        if self.blur_prob > 0 and self.rng.rand() < self.blur_prob:
+            img = img + rng.randn(*img.shape).astype(np.float32) * self.noise_std
+        if self.blur_prob > 0 and rng.rand() < self.blur_prob:
             k = np.array([0.25, 0.5, 0.25], dtype=np.float32)
             img = (
                 img * 0.5
@@ -53,13 +59,13 @@ class _Named:
         self.fn = fn
         self.name = name
 
-    def __call__(self, image: np.ndarray) -> np.ndarray:
-        return self.fn(image)
+    def __call__(self, image: np.ndarray, rng=None) -> np.ndarray:
+        return self.fn(image, rng=rng)
 
 
 def _registry(seed: Optional[int]) -> Dict[str, Callable]:
     return {
-        "none": lambda image: image,
+        "none": lambda image, rng=None: image,
         "universal": PhotometricAugment(seed=seed),
         "light": PhotometricAugment(brightness=0.1, contrast=0.1, noise_std=4.0, blur_prob=0.1, seed=seed),
         "strong": PhotometricAugment(brightness=0.3, contrast=0.3, noise_std=14.0, blur_prob=0.35, seed=seed),
@@ -67,12 +73,13 @@ def _registry(seed: Optional[int]) -> Dict[str, Callable]:
 
 
 def build_augmentations(name: Optional[str], seed: Optional[int] = None) -> Optional[Callable]:
-    """Returns a callable with the reference signature `aug(image=img)`,
-    or None for no augmentation."""
+    """Returns a callable with the reference signature `aug(image=img)` plus
+    an optional `rng=` keyword (the loaders pass a pure per-item rng), or
+    None for no augmentation."""
     if name is None or name == "none":
         return None
     registry = _registry(seed)
     if name not in registry:
         raise ValueError(f"Unknown augmentations '{name}'; available: {sorted(registry)}")
     aug = registry[name]
-    return lambda image: aug(image)
+    return lambda image, rng=None: aug(image, rng=rng)

@@ -32,10 +32,11 @@ class CTCBatchCreator:
     def __init__(self, charset, base: "BatchCreator", max_label_len: int = 256):
         self.charset = charset
         self.base = base
+        self.seed = base.seed  # content-seed passthrough for the loader
         self.max_label_len = max_label_len
 
-    def create_batch(self, items: List[Dict]) -> Dict[str, np.ndarray]:
-        batch = self.base.create_batch(items)
+    def create_batch(self, items: List[Dict], rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
+        batch = self.base.create_batch(items, rng=rng)
         n = len(items)
         labels = np.zeros((n, self.max_label_len), dtype=np.int32)
         paddings = np.ones((n, self.max_label_len), dtype=np.float32)
@@ -68,6 +69,11 @@ class BatchCreator:
         self.crop_width = crop_width
         self.crop_step = crop_step
         self.same_left_paddings = same_left_paddings
+        self.seed = seed
+        # Stateful fallback RNG for direct create_batch() calls. The loaders
+        # never use it: they pass an explicit per-batch rng derived from
+        # (seed, global batch index), making batch CONTENT a pure function of
+        # the stream position (see loader.py "determinism contracts").
         self.rng = np.random.RandomState(seed)
         self.use_native = use_native
         # left_align: place every line at padding 0 and emit content widths —
@@ -83,37 +89,37 @@ class BatchCreator:
         return native if native.available() else None
 
     # ------------------------------------------------------------------ crops
-    def _crop_image(self, image: np.ndarray, start: Optional[int] = None):
+    def _crop_image(self, image: np.ndarray, rng: np.random.RandomState, start: Optional[int] = None):
         if image.shape[1] <= self.crop_width:
             return image, 0
         if start is None:
             diff = image.shape[1] - self.crop_width
-            start = self.rng.randint(0, diff) // self.crop_step * self.crop_step
+            start = rng.randint(0, diff) // self.crop_step * self.crop_step
         start = int(np.clip(start, 0, image.shape[1] - self.crop_width))
         return image[:, start : start + self.crop_width, :], start
 
-    def _crop_pair(self, item: Dict) -> int:
+    def _crop_pair(self, item: Dict, rng: np.random.RandomState) -> int:
         """Crop both views with a random relative shift (reference:
         dataloader.py:157-181). Returns the crop shift in frames."""
         f = self.subsampling_factor
         item["image_original"] = item["image"]
         item["image2_original"] = item["image2"]
 
-        item["image"], start = self._crop_image(item["image"])
+        item["image"], start = self._crop_image(item["image"], rng)
         min_shift = -min(start // f, self.crop_width // f - 1)
         max_shift = max(
             0, min((item["image_original"].shape[1] - start - self.crop_width) // f, self.crop_width // f - 1)
         )
-        shift = min_shift if min_shift == max_shift else self.rng.randint(min_shift, max_shift)
+        shift = min_shift if min_shift == max_shift else rng.randint(min_shift, max_shift)
         start += shift * f
-        item["image2"], _ = self._crop_image(item["image2"], start=start)
+        item["image2"], _ = self._crop_image(item["image2"], rng, start=start)
         return shift
 
     # ------------------------------------------------------------------ views
-    def _draw_left_padding(self, width: int, target: int) -> int:
+    def _draw_left_padding(self, width: int, target: int, rng: np.random.RandomState) -> int:
         if width >= target:
             return 0
-        return self.rng.randint(0, target - width) // self.subsampling_factor
+        return rng.randint(0, target - width) // self.subsampling_factor
 
     def _place(self, canvas: np.ndarray, mask: np.ndarray, image: np.ndarray, left_padding: int):
         """Place a line at the given left padding; fill the frame mask."""
@@ -140,12 +146,14 @@ class BatchCreator:
         return canvas, masks
 
     # ------------------------------------------------------------------ main
-    def create_batch(self, items: List[Dict]) -> Dict[str, np.ndarray]:
+    def create_batch(self, items: List[Dict], rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
+        if rng is None:
+            rng = self.rng
         f = self.subsampling_factor
         has_pairs = any(d.get("image2") is not None for d in items)
 
         if self.crop_width is not None:
-            crop_shifts = [self._crop_pair(d) if has_pairs else 0 for d in items]
+            crop_shifts = [self._crop_pair(d, rng) if has_pairs else 0 for d in items]
             target = self.crop_width
         else:
             crop_shifts = [0] * len(items)
@@ -158,7 +166,7 @@ class BatchCreator:
         if self.left_align:
             left_paddings = [0] * n
         else:
-            left_paddings = [self._draw_left_padding(img.shape[1], target) for img in view1]
+            left_paddings = [self._draw_left_padding(img.shape[1], target, rng) for img in view1]
         images, image_masks = self._pack_view(view1, left_paddings, target)
 
         labels = None
@@ -190,7 +198,7 @@ class BatchCreator:
             if self.same_left_paddings:
                 left_paddings2 = list(left_paddings)
             else:
-                left_paddings2 = [self._draw_left_padding(img.shape[1], target) for img in view2]
+                left_paddings2 = [self._draw_left_padding(img.shape[1], target, rng) for img in view2]
             images2, image_masks2 = self._pack_view(view2, left_paddings2, target)
 
             shifts = np.asarray(

@@ -21,7 +21,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from pero_pretraining_tpu.data.batching import BatchCreator
-from pero_pretraining_tpu.data.loader import _PlanIteration
+from pero_pretraining_tpu.data.loader import _PlanIteration, item_getter
 
 
 def bucket_for(width_px: int, buckets: Sequence[int]) -> int:
@@ -127,9 +127,18 @@ class BucketedDataLoader(_PlanIteration):
             rng.shuffle(plans)
         return plans
 
-    def build_batch(self, entry: tuple, pool) -> Dict[str, np.ndarray]:
+    def build_batch(self, entry: tuple, pool, global_index: Optional[int] = None) -> Dict[str, np.ndarray]:
         bucket, batch_idx = entry
-        items = list(pool.map(self.dataset.__getitem__, batch_idx))
+        if global_index is None:
+            batch_rng = None
+            items = list(pool.map(self.dataset.__getitem__, batch_idx))
+        else:
+            batch_rng, item_rngs = self.content_rngs(global_index, len(batch_idx))
+            getter = item_getter(self.dataset)
+            if getter is None:
+                items = list(pool.map(self.dataset.__getitem__, batch_idx))
+            else:
+                items = list(pool.map(lambda t: getter(int(t[0]), rng=t[1]), zip(batch_idx, item_rngs)))
         # clip oversized lines to their bucket (largest bucket only)
         for item in items:
             if item["image"].shape[1] > bucket:
@@ -138,4 +147,4 @@ class BucketedDataLoader(_PlanIteration):
                     item["labels"] = list(item["labels"])[: bucket // self.subsampling_factor]
                 if item.get("image2") is not None:
                     item["image2"] = item["image2"][:, :bucket]
-        return self.creators[bucket].create_batch(items)
+        return self.creators[bucket].create_batch(items, rng=batch_rng)

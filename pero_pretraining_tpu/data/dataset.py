@@ -102,7 +102,23 @@ def make_eol_patch(height: int, label_step: int = 8) -> np.ndarray:
     return patch
 
 
-class LinesDataset:
+class SupportsItemRng:
+    """Mixin for datasets whose `__getitem__(idx)` is exactly `get(idx)`.
+
+    The loaders then call `get(idx, rng=...)` with a pure per-item rng so
+    augmentation draws don't depend on thread scheduling, process count, or
+    resume point (loader.py determinism contract). A subclass that overrides
+    `__getitem__` opts OUT automatically: the loaders detect the override and
+    fall back to plain `__getitem__`, so custom behavior is never bypassed."""
+
+    def __getitem__(self, idx: int) -> Dict:
+        return self.get(idx)
+
+    def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict:
+        raise NotImplementedError
+
+
+class LinesDataset(SupportsItemRng):
     """Map-style dataset over (image KV store, lines file)."""
 
     def __init__(
@@ -152,7 +168,10 @@ class LinesDataset:
     def __len__(self) -> int:
         return len(self._image_ids) - self.skip
 
-    def __getitem__(self, idx: int) -> Dict:
+    def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict:
+        """`__getitem__` with an explicit augmentation rng — the loaders pass
+        one derived from (seed, global batch index, position) so augmented
+        content is pure in the stream position (loader.py contract)."""
         idx = idx + self.skip
         image_id = self._image_ids[idx]
         data = self.store().get(image_id)
@@ -171,14 +190,14 @@ class LinesDataset:
         if self.pair_images:
             image2 = np.copy(image)
             if self.augmentations is not None:
-                image2 = self.augmentations(image=image2)
+                image2 = self.augmentations(image=image2, rng=rng)
         if self.augmentations is not None:
-            image = self.augmentations(image=image)
+            image = self.augmentations(image=image, rng=rng)
 
         return {"image": image, "image2": image2, "labels": labels, "image_id": image_id}
 
 
-class TranscriptionDataset:
+class TranscriptionDataset(SupportsItemRng):
     """(image store, transcription file) dataset for CTC fine-tuning.
 
     Transcription rows: `"<image_id>\\t<text>"` (tab-separated; text may
@@ -225,18 +244,18 @@ class TranscriptionDataset:
     def __len__(self) -> int:
         return len(self._items)
 
-    def __getitem__(self, idx: int) -> Dict:
+    def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict:
         image_id, text = self._items[idx]
         data = self.store().get(image_id)
         if data is None:
             raise KeyError(f"image '{image_id}' not in store '{self.store_path}'")
         image = decode_image(data)[:, : self.max_width]
         if self.augmentations is not None:
-            image = self.augmentations(image=image)
+            image = self.augmentations(image=image, rng=rng)
         return {"image": image, "image2": None, "labels": None, "text": text, "image_id": image_id}
 
 
-class PackedDataset:
+class PackedDataset(SupportsItemRng):
     """Dataset over a records KV store (JSON per line), with `fill_width`
     packing (reference DatasetLMDB, common/dataset.py:108-267)."""
 
@@ -334,7 +353,7 @@ class PackedDataset:
         labels = np.concatenate(all_labels)
         return image, labels
 
-    def __getitem__(self, idx: int) -> Dict:
+    def get(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict:
         if self.fill_width:
             image, labels = self._get_fixed_width_image(idx)
         else:
@@ -350,8 +369,8 @@ class PackedDataset:
             # augmentations of the ORIGINAL image
             image2 = np.copy(image)
             if self.augmentations is not None:
-                image2 = self.augmentations(image=image2)
+                image2 = self.augmentations(image=image2, rng=rng)
         if self.augmentations is not None:
-            image = self.augmentations(image=image)
+            image = self.augmentations(image=image, rng=rng)
 
         return {"image": image, "image2": image2, "labels": labels, "image_id": idx}

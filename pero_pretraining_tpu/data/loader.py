@@ -11,15 +11,19 @@ Two iteration surfaces with different determinism contracts:
   for evaluation consumers (Tester, Visualizer) where cross-run determinism
   of the shuffle does not matter.
 - `stream(start_batch)`: THE training stream — an infinite batch sequence
-  that is a pure function of (seed, start_batch), built from `plan(epoch)`.
-  Other consumers iterating the same loader cannot perturb it, so a resumed
-  `stream(N)` yields exactly the batches an uninterrupted `stream(0)` would
-  have yielded from position N (the reference restarts data order from
-  scratch on resume — SURVEY.md §5). Collation randomness (left paddings)
-  is reseeded on resume, mirroring the reference's unsaved host RNG.
+  whose ORDER **and CONTENT** are a pure function of (seed, start_batch).
+  Order comes from `plan(epoch)`; content randomness (left paddings, pair
+  crops/shifts, photometric augmentation) is drawn from per-batch/per-item
+  RNGs derived from (content seed, global batch index, position) — NOT from
+  a process-lifetime stateful RNG. Consequences: a resumed `stream(N)`
+  yields byte-identical batches to an uninterrupted `stream(0)` from
+  position N; N loader processes (data/multiprocess.py) produce
+  byte-identical batches to one; augmentation draws do not depend on
+  decode-thread scheduling. (The reference restarts data order AND host RNG
+  from scratch on resume — SURVEY.md §5.)
 
-`plan(epoch)` + `build_batch(entry, pool)` are the primitive contract shared
-with BucketedDataLoader and the multi-process sharded loader
+`plan(epoch)` + `build_batch(entry, pool, global_index)` are the primitive
+contract shared with BucketedDataLoader and the multi-process sharded loader
 (data/multiprocess.py), which reassembles the same plan order across worker
 processes.
 
@@ -37,28 +41,51 @@ from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
 import numpy as np
 
 from pero_pretraining_tpu.data.batching import BatchCreator
+from pero_pretraining_tpu.data.dataset import SupportsItemRng
+
+
+def item_getter(dataset) -> Optional[Callable]:
+    """`get(idx, rng)` when the dataset supports per-item rngs AND has not
+    overridden `__getitem__` (an override means custom behavior the loader
+    must not bypass); None otherwise."""
+    if isinstance(dataset, SupportsItemRng) and type(dataset).__getitem__ is SupportsItemRng.__getitem__:
+        return dataset.get
+    return None
 
 
 class _PlanIteration:
     """Shared iteration machinery over a (plan, build_batch) contract.
 
     Subclasses provide: plan(epoch) -> list of entries,
-    build_batch(entry, pool) -> batch dict, and the attributes
-    num_workers / prefetch_batches / _epoch."""
+    build_batch(entry, pool, global_index) -> batch dict, and the attributes
+    num_workers / prefetch_batches / _epoch / seed."""
+
+    def content_rngs(self, global_index: int, n_items: int):
+        """(batch_rng, [item_rngs]) — pure in (content seeds, global batch
+        index). The batch rng drives collation draws (left paddings, crops);
+        each item rng drives that item's augmentation, so content does not
+        depend on decode-thread scheduling, process count, or resume point."""
+        entropy = [s & 0xFFFFFFFF for s in self._content_entropy()] + [int(global_index)]
+        children = np.random.SeedSequence(entropy).spawn(n_items + 1)
+        make = lambda c: np.random.RandomState(np.random.MT19937(c))
+        return make(children[0]), [make(c) for c in children[1:]]
+
+    def _content_entropy(self) -> List[int]:
+        return [0 if self.seed is None else int(self.seed)]
 
     def _produce(self, entries: Iterable[Any]) -> Iterator[Dict[str, np.ndarray]]:
-        """Threaded prefetch: decode/collate `entries` in a producer thread,
-        yield finished batches in order."""
+        """Threaded prefetch: decode/collate `(global_index, entry)` pairs in
+        a producer thread, yield finished batches in order."""
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for entry in entries:
+                    for g, entry in entries:
                         if stop.is_set():
                             return
-                        out_queue.put(("batch", self.build_batch(entry, pool)))
+                        out_queue.put(("batch", self.build_batch(entry, pool, g)))
                 out_queue.put(("done", None))
             except BaseException as e:  # propagate worker errors to the consumer
                 out_queue.put(("error", e))
@@ -93,12 +120,13 @@ class _PlanIteration:
             epoch = g // per_epoch
             if epoch != plan_epoch:
                 plan_epoch, plan = epoch, self.plan(epoch)
-            yield plan[g % per_epoch]
+            yield g, plan[g % per_epoch]
             g += 1
 
     def stream(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Infinite training stream, a pure function of (seed, start_batch):
-        epochs 0, 1, 2, ... of plan() order regardless of what other
+        """Infinite training stream, a pure function of (seed, start_batch) in
+        both order AND content: epochs 0, 1, 2, ... of plan() order, content
+        rngs keyed by the global batch index, regardless of what other
         consumers do with this loader. Resume = stream(consumed_batches)."""
         return self._produce(self._entries_forever(start_batch))
 
@@ -107,7 +135,8 @@ class _PlanIteration:
         epoch (does not affect stream())."""
         epoch = self._epoch
         self._epoch += 1
-        return self._produce(self.plan(epoch))
+        base = epoch * len(self)
+        return self._produce((base + i, e) for i, e in enumerate(self.plan(epoch)))
 
 
 class DataLoader(_PlanIteration):
@@ -151,9 +180,23 @@ class DataLoader(_PlanIteration):
             plans.append(indices[n_batches * self.batch_size :])
         return plans
 
-    def build_batch(self, entry: np.ndarray, pool: ThreadPoolExecutor) -> Dict[str, np.ndarray]:
-        items = list(pool.map(self.dataset.__getitem__, entry))
-        return self.batch_creator.create_batch(items)
+    def _content_entropy(self) -> List[int]:
+        creator_seed = getattr(self.batch_creator, "seed", None)
+        return [0 if self.seed is None else int(self.seed), 0 if creator_seed is None else int(creator_seed)]
+
+    def build_batch(
+        self, entry: np.ndarray, pool: ThreadPoolExecutor, global_index: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        if global_index is None:  # direct calls: legacy stateful-rng path
+            items = list(pool.map(self.dataset.__getitem__, entry))
+            return self.batch_creator.create_batch(items)
+        batch_rng, item_rngs = self.content_rngs(global_index, len(entry))
+        getter = item_getter(self.dataset)
+        if getter is None:  # dataset without (or opted out of) the rng protocol
+            items = list(pool.map(self.dataset.__getitem__, entry))
+        else:
+            items = list(pool.map(lambda t: getter(int(t[0]), rng=t[1]), zip(entry, item_rngs)))
+        return self.batch_creator.create_batch(items, rng=batch_rng)
 
 
 def device_prefetch(batches: Iterable[Any], put: Callable[[Any], Any], depth: int = 2) -> Iterator[Any]:

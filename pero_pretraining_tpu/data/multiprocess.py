@@ -6,9 +6,10 @@ manually via the dataset `skip` offset — reference common/dataset.py:26).
 This wrapper runs N independent loader PROCESSES, each materializing the
 batches `g` with `g % N == rank` of the deterministic global plan
 (DataLoader.plan), and the parent reassembles them in exact plan order — the
-batch stream is bit-identical in ORDER to the single-process loader, so
-shuffles, skip_to resume, and parity tests carry over unchanged. (Collation
-randomness within a batch is per-process, as with torch's workers.)
+batch stream is BYTE-IDENTICAL (order and content: collation and
+augmentation rngs are pure in the global batch index, loader.py) to the
+single-process loader, so shuffles, skip_to resume, and parity tests carry
+over unchanged.
 
 Workers are spawned (never forked — the parent typically holds JAX/TPU
 state) and import only the data layer. The loader is described by a
@@ -57,9 +58,11 @@ def _worker(spec, rank, world, start_batch, out_queue, stop_event):
                 epoch = g // per_epoch
                 if epoch != plan_epoch:
                     plan_epoch, plan = epoch, loader.plan(epoch)
-                # plan()/build_batch() is the loader contract (loader.py), so
-                # plain and bucketed loaders shard identically
-                out_queue.put(("batch", g, loader.build_batch(plan[g % per_epoch], pool)))
+                # plan()/build_batch(global_index) is the loader contract
+                # (loader.py), so plain and bucketed loaders shard identically
+                # and batch CONTENT is byte-identical to the single-process
+                # loader (content rngs are pure in g, not process state)
+                out_queue.put(("batch", g, loader.build_batch(plan[g % per_epoch], pool, g)))
                 g += world
     except BaseException as e:  # surface worker crashes in the parent
         out_queue.put(("error", rank, e))
