@@ -31,4 +31,15 @@ for b in 192 48; do for s in 0 1; do
   have "scratch_${b}_s${s}_beam_lm" || \
     run $BASE --stage beam --mode scratch --budget $b --finetune-seed $s
 done; done
+
+# VggT beam rows wherever a fine-tuned VggT checkpoint is on disk (the
+# round-3 VggT seed-1 fine-tunes leave theirs behind): does beam+LM stack
+# on the stronger conv-hybrid the way it does on the ViT?
+for b in 192 48; do for s in 0 1; do for m in pretrained scratch; do
+  key="${m}_vggt_${b}_s${s}"
+  [ $m = pretrained ] && key="pretrained_masked_dn_vggt_${b}_s${s}"
+  if [ -f $D/ctc_${key}.msgpack ] && ! have "${key}_beam_lm"; then
+    run $BASE --stage beam --mode $m --backbone vggt --objective masked_dn --budget $b --finetune-seed $s
+  fi
+done; done; done
 echo "=== QUEUE 3E DONE $(date +%H:%M:%S)"
