@@ -124,6 +124,38 @@ def main():
         Trainer(ctc_task, t, mesh=mesh), ctc_batches(), mesh, name="ctc_finetune_vit_b16_w2048"
     )
 
+    # inference / serving: greedy transcription (forward + on-device argmax
+    # decode, the transcribe/CTCTester hot path). Scalar fetch only — paths
+    # stay on device so the number is chip throughput, not tunnel bandwidth.
+    import jax.numpy as jnp
+
+    from pero_pretraining_tpu.parallel.sharding import shard_batch
+
+    infer_batches = ctc_batches()
+    variables = ctc_task.init_variables(jax.random.PRNGKey(0), infer_batches[0])
+    params = variables.pop("params")
+    model_state = variables
+    eval_rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def _infer(params, model_state, batch):
+        loss, aux = ctc_task.eval_step(params, model_state, batch, eval_rng)
+        return loss, jnp.sum(aux["path"])
+
+    dev = [shard_batch(b, mesh) for b in infer_batches]
+    _, s = _infer(params, model_state, dev[0])
+    float(s)  # compile + channel
+    print("[transcribe_vit_b16_w2048] compiled", flush=True)
+    best, steps, bs = 0.0, 40, infer_batches[0]["images"].shape[0]
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            _, s = _infer(params, model_state, dev[i % len(dev)])
+        float(s)
+        best = max(best, bs * steps / (time.perf_counter() - t0))
+    print(f"[transcribe_vit_b16_w2048] {best:.0f} lines/s", flush=True)
+    results["transcribe_vit_b16_w2048"] = best
+
     out = {k: round(v, 1) for k, v in results.items()}
     docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "docs")
     os.makedirs(docs, exist_ok=True)
