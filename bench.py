@@ -18,27 +18,167 @@ Measurement notes:
   architecture with torch's own modules on CPU (fwd+bwd+Adam), cached in
   BENCH_BASELINE.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Driver-proofing (this file is run by an external driver under a hard
+wall-clock budget over a sometimes-flaky TPU relay, so it must degrade
+gracefully rather than all-or-nothing):
+- the headline JSON line is printed AND FLUSHED immediately after the FIRST
+  completed TPU leg, and re-printed (upgraded) as later legs land — the
+  driver parses the LAST line of stdout, so a stall in any later leg can no
+  longer erase the numbers already measured;
+- every leg runs under its own wall-clock budget (signal.setitimer); a leg
+  that stalls is skipped (recorded in BENCH_DETAILS.json) and the remaining
+  legs still run;
+- a watchdog thread salvages the best-so-far line and exits 0 if the main
+  thread hard-hangs in a C call past the global deadline (SIGALRM only
+  interrupts Python-level code, so the thread is the backstop).
+
+Self-test hooks (used by tests/test_bench_driverproof.py; inert otherwise):
+  BENCH_SELFTEST_STALL=<leg>   make that leg sleep forever
+  BENCH_LEG_BUDGET=<s>         per-leg budget override
+  BENCH_DEADLINE=<s>           watchdog deadline override
+  BENCH_BATCH/WIDTH/LABELS/STEPS/TRIALS  shrink the workload for CPU CI
+
+Prints ONE-OR-MORE JSON lines (last one wins):
+  {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
 
-BATCH_SIZE = 16
-WIDTH = 2048
-NUM_LABELS = 4096
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 16))
+WIDTH = int(os.environ.get("BENCH_WIDTH", 2048))
+NUM_LABELS = int(os.environ.get("BENCH_LABELS", 4096))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
+TRIALS = int(os.environ.get("BENCH_TRIALS", 3))
 _HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(_HERE, "BENCH_BASELINE.json")
-DETAILS_PATH = os.path.join(_HERE, "BENCH_DETAILS.json")
+DETAILS_PATH = os.environ.get("BENCH_DETAILS_PATH", os.path.join(_HERE, "BENCH_DETAILS.json"))
+BENCH_DATA_DIR = os.environ.get("BENCH_DATA_DIR", os.path.join(_HERE, ".bench_data"))
+
+# Per-leg wall-clock budgets (seconds). "build" covers import+compile+warmup
+# (first XLA compile on a cold cache is ~20-40s; the tunnel can add more).
+LEG_BUDGETS = {
+    "build": 420.0,
+    "device_resident": 150.0,
+    "scan_fused": 150.0,
+    "e2e_dispatch": 150.0,
+    "real_data": 300.0,
+    "baseline": 420.0,
+}
+_budget_override = os.environ.get("BENCH_LEG_BUDGET")
+if _budget_override:
+    LEG_BUDGETS = {k: float(_budget_override) for k in LEG_BUDGETS}
+GLOBAL_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", 900))
+
+RESULTS: dict = {"skipped": [], "errors": {}}
+_LOCK = threading.Lock()
+_DONE = threading.Event()
+
+
+class LegTimeout(Exception):
+    pass
+
+
+def _alarm(_signum, _frame):
+    raise LegTimeout()
+
+
+def run_leg(name: str, fn, default=None):
+    """Run one bench leg under its wall-clock budget; skip (not hang) on stall."""
+    budget = LEG_BUDGETS.get(name, 120.0)
+    if os.environ.get("BENCH_SELFTEST_STALL") == name:
+        fn = lambda: time.sleep(10_000)  # noqa: E731 — injected stall for the self-test
+        budget = min(budget, 5.0)
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.setitimer(signal.ITIMER_REAL, budget)
+    try:
+        return fn()
+    except LegTimeout:
+        with _LOCK:
+            RESULTS["skipped"].append(name)
+        return default
+    except Exception as e:  # a broken leg must not sink the others
+        with _LOCK:
+            RESULTS["errors"][name] = repr(e)
+        return default
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+
+
+def _headline_line():
+    with _LOCK:
+        candidates = [
+            RESULTS.get("scan_fused_lines_per_sec"),
+            RESULTS.get("device_resident_lines_per_sec"),
+        ]
+        vals = [v for v in candidates if v]
+        if not vals:  # degraded: fall back to any completed leg
+            vals = [
+                v
+                for v in (
+                    RESULTS.get("end_to_end_with_tunneled_transfers_lines_per_sec"),
+                    RESULTS.get("real_data_e2e_lines_per_sec"),
+                )
+                if v
+            ]
+        if not vals:
+            return None
+        headline = max(vals)
+        baseline = RESULTS.get("torch_cpu_baseline_lines_per_sec")
+    return {
+        "metric": "pretraining_throughput",
+        "value": round(headline, 2),
+        "unit": "text-lines/sec/chip",
+        "vs_baseline": round(headline / baseline, 2) if baseline else None,
+    }
+
+
+def emit():
+    """Print the current-best headline line and persist details. Called after
+    every completed leg so a later stall cannot erase measured numbers."""
+    line = _headline_line()
+    if line is None:
+        return
+    with _LOCK:
+        details = dict(RESULTS)
+    try:
+        with open(DETAILS_PATH, "w") as f:
+            json.dump(details, f, indent=2)
+    except OSError:
+        pass
+    print(json.dumps(line), flush=True)
+
+
+def _watchdog():
+    """If the main thread hard-hangs past the global deadline (blocked in a C
+    call SIGALRM can't interrupt), salvage whatever was measured and exit 0."""
+    deadline = time.monotonic() + GLOBAL_DEADLINE_S
+    while not _DONE.wait(2.0):
+        if time.monotonic() >= deadline:
+            if _headline_line() is not None:
+                with _LOCK:
+                    RESULTS["errors"]["watchdog"] = "global deadline hit; salvaged best-so-far"
+                emit()
+                os._exit(0)
+            deadline = time.monotonic() + 30.0  # nothing to salvage yet; re-check
 
 
 def _build():
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon sitecustomize registers the TPU relay platform in every
+        # process; honor an explicit CPU request (self-test/CI) the same way
+        # tests/conftest.py does
+        jax.config.update("jax_platforms", "cpu")
 
     from pero_pretraining_tpu.configs import BackboneConfig, HeadConfig, MeshConfig, TrainingConfig
     from pero_pretraining_tpu.data.synthetic import synthetic_masked_batch
@@ -55,63 +195,58 @@ def _build():
     batches = [
         synthetic_masked_batch(rng, batch_size=BATCH_SIZE, width=WIDTH, num_labels=NUM_LABELS) for _ in range(4)
     ]
-    return trainer, batches, mesh
-
-
-def measure_tpu(steps: int = 30, trials: int = 3):
-    from pero_pretraining_tpu.parallel.sharding import shard_batch
-
-    trainer, batches, mesh = _build()
     state = trainer.init_state(batches[0])
-
     # warmup: compile + establish the D2H channel
     for i in range(3):
         state, metrics = trainer.train_step(state, batches[i % 4])
     float(metrics["loss"])
+    return trainer, batches, mesh, state
 
-    def timed(step_fn):
-        nonlocal state
-        best = 0.0
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            m = None
-            for i in range(steps):
-                state, m = step_fn(state, i)
-            float(m["loss"])  # force completion
-            rate = BATCH_SIZE * steps / (time.perf_counter() - t0)
-            best = max(best, rate)
-        return best
 
-    e2e = timed(lambda st, i: trainer.train_step(st, batches[i % 4]))
+def _timed(step_fn, state, steps=None, trials=None):
+    steps = steps or STEPS
+    best = 0.0
+    for _ in range(trials or TRIALS):
+        t0 = time.perf_counter()
+        m = None
+        for i in range(steps):
+            state, m = step_fn(state, i)
+        float(m["loss"])  # force completion
+        best = max(best, BATCH_SIZE * steps / (time.perf_counter() - t0))
+    return best, state
+
+
+def measure_resident(trainer, batches, mesh, state):
+    from pero_pretraining_tpu.parallel.sharding import shard_batch
+
     device_batches = [shard_batch(b, mesh) for b in batches]
-    resident = timed(lambda st, i: trainer._train_step(st, device_batches[i % 4]))
+    rate, state = _timed(lambda st, i: trainer._train_step(st, device_batches[i % 4]), state)
+    return rate, state
 
-    # scan-fused: K optimizer steps per device program (the robust headline —
-    # immune to per-step dispatch latency, which is multi-ms and noisy on
-    # tunneled transports)
+
+def measure_fused(trainer, batches, mesh, state):
+    # scan-fused: K optimizer steps per device program (immune to per-step
+    # dispatch latency, which is multi-ms and noisy on tunneled transports)
     import jax as _jax
+
     from pero_pretraining_tpu.parallel.sharding import shard_batch_leading
 
     K = 8
     stacked = _jax.tree_util.tree_map(lambda *xs: np.stack(xs), *(batches * 2))
     sdev = shard_batch_leading(stacked, mesh)
-    state2 = state
-    state2, m = trainer._train_many(state2, sdev)
+    state, m = trainer._train_many(state, sdev)
     float(m["loss"])
     best = 0.0
-    for _ in range(trials):
+    for _ in range(TRIALS):
         t0 = time.perf_counter()
         for _ in range(3):
-            state2, m = trainer._train_many(state2, sdev)
+            state, m = trainer._train_many(state, sdev)
         float(m["loss"])
         best = max(best, BATCH_SIZE * 3 * K / (time.perf_counter() - t0))
-    return best, resident, e2e
+    return best, state
 
 
-BENCH_DATA_DIR = os.path.join(_HERE, ".bench_data")
-
-
-def _ensure_real_store(n_lines: int = 384):
+def _ensure_real_store(n_lines: int = int(os.environ.get("BENCH_STORE_LINES", 384))):
     """Build (once, cached) a realistic on-disk dataset for the e2e leg:
     JPEG-encoded rendered text lines near the flagship width with FQ-style
     per-frame labels in the lines file — the same store format every training
@@ -145,7 +280,7 @@ def _ensure_real_store(n_lines: int = 384):
     return store_path, lines_path
 
 
-def measure_real_data_e2e(steps: int = 100):
+def measure_real_data_e2e(trainer, state, steps: int = int(os.environ.get("BENCH_E2E_STEPS", 100))):
     """Sustained store -> decode -> collate -> H2D -> train_step throughput
     (lines/sec), plus the host pipeline alone (same loader, no device work)
     to attribute any gap. Returns (e2e_rate, host_rate)."""
@@ -155,9 +290,6 @@ def measure_real_data_e2e(steps: int = 100):
     from pero_pretraining_tpu.training.tester import numeric_batch
 
     store_path, lines_path = _ensure_real_store()
-    trainer, batches, mesh = _build()
-    state = trainer.init_state(batches[0])
-
     ds = LinesDataset(store_path, lines_path, max_width=WIDTH)
     loader = DataLoader(
         ds, BatchCreator(pad_to=WIDTH, seed=0), batch_size=BATCH_SIZE, shuffle=True, num_workers=4
@@ -247,48 +379,82 @@ def get_baseline() -> float:
 
 
 def main():
-    fused, resident, e2e = measure_tpu()
-    real_e2e, host_rate = measure_real_data_e2e()
-    baseline = get_baseline()
-    # headline: best sustainable rate — single-step when dispatch is healthy,
-    # scan-fused when per-step dispatch latency spikes (both compute-bound)
-    headline = max(fused, resident)
-    if real_e2e < 0.7 * min(host_rate, resident):
-        # e2e falls well below BOTH the host pipeline alone and the chip:
-        # the per-step H2D transfer is the limiter
-        bottleneck = "device transfers (tunneled H2D on this environment; GB/s on production hosts)"
-    elif host_rate < resident:
-        bottleneck = (
-            f"host pipeline (decode+collate at {host_rate:.0f} lines/s on this "
-            f"{os.cpu_count()}-core host; scales with cores via --loader-procs)"
-        )
-    else:
-        bottleneck = "none (host keeps up with the chip)"
-    with open(DETAILS_PATH, "w") as f:
-        json.dump(
-            {
-                "scan_fused_lines_per_sec": round(fused, 2),
-                "device_resident_lines_per_sec": round(resident, 2),
-                "end_to_end_with_tunneled_transfers_lines_per_sec": round(e2e, 2),
-                "real_data_e2e_lines_per_sec": round(real_e2e, 2),
-                "real_data_host_pipeline_lines_per_sec": round(host_rate, 2),
-                "real_data_bottleneck": bottleneck,
-                "torch_cpu_baseline_lines_per_sec": round(baseline, 3),
-                "workload": f"masked ViT b{BATCH_SIZE} w{WIDTH} v{NUM_LABELS} bf16, fwd+bwd+Adam",
-            },
-            f,
-            indent=2,
-        )
-    print(
-        json.dumps(
-            {
-                "metric": "pretraining_throughput",
-                "value": round(headline, 2),
-                "unit": "text-lines/sec/chip",
-                "vs_baseline": round(headline / baseline, 2),
-            }
-        )
-    )
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    # Baseline first: it is a committed cache read (cheap), so the very first
+    # emitted line already carries vs_baseline.
+    baseline = run_leg("baseline", get_baseline)
+    with _LOCK:
+        RESULTS["torch_cpu_baseline_lines_per_sec"] = round(baseline, 3) if baseline else None
+        RESULTS["workload"] = f"masked ViT b{BATCH_SIZE} w{WIDTH} v{NUM_LABELS} bf16, fwd+bwd+Adam"
+
+    built = run_leg("build", _build)
+    if built is None:
+        # Cannot measure anything without a compiled step; the watchdog has
+        # nothing to salvage either — exit nonzero so the driver records why.
+        with _LOCK:
+            details = dict(RESULTS)
+        with open(DETAILS_PATH, "w") as f:
+            json.dump(details, f, indent=2)
+        print(json.dumps({"error": "build/warmup failed or stalled", "details": details}), flush=True)
+        _DONE.set()
+        sys.exit(1)
+    trainer, batches, mesh, state = built
+
+    def leg_resident():
+        nonlocal state
+        rate, state = measure_resident(trainer, batches, mesh, state)
+        return rate
+
+    resident = run_leg("device_resident", leg_resident)
+    if resident:
+        with _LOCK:
+            RESULTS["device_resident_lines_per_sec"] = round(resident, 2)
+        emit()  # first headline line lands here — later stalls can't erase it
+
+    def leg_fused():
+        nonlocal state
+        rate, state = measure_fused(trainer, batches, mesh, state)
+        return rate
+
+    fused = run_leg("scan_fused", leg_fused)
+    if fused:
+        with _LOCK:
+            RESULTS["scan_fused_lines_per_sec"] = round(fused, 2)
+        emit()
+
+    def leg_dispatch():
+        nonlocal state
+        rate, state = _timed(lambda st, i: trainer.train_step(st, batches[i % 4]), state)
+        return rate
+
+    e2e = run_leg("e2e_dispatch", leg_dispatch)
+    if e2e:
+        with _LOCK:
+            RESULTS["end_to_end_with_tunneled_transfers_lines_per_sec"] = round(e2e, 2)
+        emit()
+
+    real = run_leg("real_data", lambda: measure_real_data_e2e(trainer, state))
+    if real:
+        real_e2e, host_rate = real
+        if real_e2e < 0.7 * min(host_rate, resident or host_rate):
+            # e2e falls well below BOTH the host pipeline alone and the chip:
+            # the per-step H2D transfer is the limiter
+            bottleneck = "device transfers (tunneled H2D on this environment; GB/s on production hosts)"
+        elif resident and host_rate < resident:
+            bottleneck = (
+                f"host pipeline (decode+collate at {host_rate:.0f} lines/s on this "
+                f"{os.cpu_count()}-core host; scales with cores via --loader-procs)"
+            )
+        else:
+            bottleneck = "none (host keeps up with the chip)"
+        with _LOCK:
+            RESULTS["real_data_e2e_lines_per_sec"] = round(real_e2e, 2)
+            RESULTS["real_data_host_pipeline_lines_per_sec"] = round(host_rate, 2)
+            RESULTS["real_data_bottleneck"] = bottleneck
+
+    _DONE.set()
+    emit()  # final (possibly identical) line + persisted details
 
 
 if __name__ == "__main__":

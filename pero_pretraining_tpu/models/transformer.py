@@ -94,7 +94,12 @@ class EncoderBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "xla"
     mesh: Optional[Mesh] = None
-    # MoE FFN (models/moe.py): num_experts > 0 replaces the dense MLP
+    # MoE FFN (models/moe.py): num_experts > 1 replaces the dense MLP.
+    # num_experts <= 1 statically dispatches to the dense Mlp: a 1-expert
+    # MoE is mathematically the dense MLP (tests/test_moe.py proves the
+    # equality), so it must cost exactly nothing — the measured −17%
+    # dispatch/router overhead of running it through the MoE einsums
+    # (docs/bench_overheads.json r3) bought nothing.
     num_experts: int = 0
     expert_topk: int = 1
     expert_capacity: float = 1.25
@@ -112,7 +117,7 @@ class EncoderBlock(nn.Module):
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
-        if self.num_experts > 0:
+        if self.num_experts > 1:
             from pero_pretraining_tpu.models.moe import MoEMlp
 
             h = MoEMlp(
@@ -232,7 +237,7 @@ class TransformerBackbone(nn.Module):
         if cfg.stacked_blocks or pipe > 1:
             from pero_pretraining_tpu.parallel.pipeline import validate_pipeline_mesh
 
-            if cfg.num_experts > 0:
+            if cfg.num_experts > 1:
                 raise ValueError("stacked/pipelined blocks do not support MoE FFNs yet")
             if cfg.dropout > 0:
                 raise ValueError("stacked/pipelined blocks require dropout=0")

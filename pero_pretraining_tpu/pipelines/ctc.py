@@ -128,7 +128,7 @@ class CTCTask:
             pos_rng, drop_rng = jax.random.split(rng)
             rngs = {"positions": pos_rng, "dropout": drop_rng}
         mutable = list(model_state.keys()) if train else False
-        if train and self.backbone_config.num_experts > 0:
+        if train and self.backbone_config.num_experts > 1:
             mutable = list(mutable or []) + ["aux"]  # MoE load-balance loss
         if train and mutable:
             logits, new_state = self.model.apply(variables, images, train=True, rngs=rngs, mutable=mutable)

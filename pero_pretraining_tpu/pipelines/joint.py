@@ -118,7 +118,7 @@ class JointEmbeddingTask:
         if self.momentum > 0 and target_params is not None:
             # online branch on view 1 (with grads), frozen EMA target on view 2
             mutable = list(collections.keys()) if train else False
-            if train and self.backbone_config.num_experts > 0:
+            if train and self.backbone_config.num_experts > 1:
                 mutable = list(mutable or []) + ["aux"]  # MoE load-balance loss
             if train and mutable:
                 out1, new_cols = self.model.apply(
@@ -133,7 +133,7 @@ class JointEmbeddingTask:
             return out1, jax.lax.stop_gradient(out2), new_state
 
         mutable = list(collections.keys()) if train else False
-        if train and self.backbone_config.num_experts > 0:
+        if train and self.backbone_config.num_experts > 1:
             mutable = list(mutable or []) + ["aux"]  # MoE load-balance loss
         if train and mutable:
             (out1, out2), new_state = self.model.apply(

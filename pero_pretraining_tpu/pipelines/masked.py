@@ -105,7 +105,7 @@ class MaskedTask:
             pos_rng, drop_rng = jax.random.split(rng)
             rngs = {"positions": pos_rng, "dropout": drop_rng}
         mutable = [k for k in model_state.keys()] if train else False
-        if train and self.backbone_config.num_experts > 0:
+        if train and self.backbone_config.num_experts > 1:
             # MoE layers sow their load-balance loss into "aux" (models/moe.py)
             mutable = list(mutable or []) + ["aux"]
         if train and mutable:

@@ -50,6 +50,41 @@ def test_single_expert_equals_dense_mlp(rng):
     np.testing.assert_allclose(np.asarray(out_moe), np.asarray(out_dense), rtol=1e-5, atol=1e-6)
 
 
+def test_single_expert_config_dispatches_to_dense(rng):
+    """num_experts=1 in the backbone config statically dispatches to the
+    dense MLP (the equality is proven above), so it costs exactly nothing:
+    identical param tree, identical training trajectory, no router metrics
+    (VERDICT r3 item 5 — the MoE einsum path measured a −17% tax for the
+    mathematically identical computation)."""
+    import dataclasses
+
+    batch = synthetic_masked_batch(rng, batch_size=4, width=256, num_labels=50)
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+
+    dense_cfg = dataclasses.replace(MOE_BACKBONE, num_experts=0, expert_topk=1)
+    one_cfg = dataclasses.replace(MOE_BACKBONE, num_experts=1, expert_topk=1)
+    states, finals = [], []
+    for cfg in (dense_cfg, one_cfg):
+        task = MaskedTask(cfg, TINY_HEAD, TINY_TRAIN)
+        trainer = Trainer(task, TINY_TRAIN, mesh=mesh)
+        s = trainer.init_state(batch)
+        m = {}
+        for _ in range(3):
+            s, m = trainer.train_step(s, batch)
+        states.append(s)
+        finals.append(m)
+
+    assert jax.tree_util.tree_structure(states[0].params) == jax.tree_util.tree_structure(
+        states[1].params
+    ), "E=1 must build the dense param tree (no router/moe params)"
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(states[0].params)),
+        jax.tree_util.tree_leaves(jax.device_get(states[1].params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert "router_aux" not in finals[1]
+
+
 def test_gates_normalized_and_capacity_respected(rng):
     """Every token's combine weights sum to <= 1 (1 exactly when none of its
     experts were over capacity), and no (line, expert) pair exceeds C slots."""

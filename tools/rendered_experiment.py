@@ -120,6 +120,9 @@ def parse_args():
                         "accumulation on tunneled transports.")
     p.add_argument("--pretrain-warmup", type=int, default=1000,
                    help="LR warmup iterations for the pretrain stage")
+    p.add_argument("--retrain-targets", action="store_true",
+                   help="force the targets stage to retrain the AE tokenizer and refit k-means "
+                        "even when committed artifacts (ae*.msgpack / *_centers.npy / labels) exist")
     p.add_argument("--out", type=str, default=OUT)
     return p.parse_args()
 
@@ -267,39 +270,57 @@ def stage_targets(args):
         return _targets_vqvae(args, p, mesh)
     dn = 0.3 if args.objective == "masked_dn" else 0.0
     suffix = "_dn" if dn else ""
-    print(f"targets: AE tokenizer + k-means (PQ-AE{suffix})", flush=True)
-    ae_cfg = AutoencoderConfig(type="ae", base_channels=32, decoder_base_channels=128)
-    ae_task = AutoencoderTask(
-        ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed,
-                               denoising=dn)
-    )
-    ae_ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
-    ae_loader = DataLoader(ae_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
-                           shuffle=True, num_workers=4)
-    _, ae_state = run_trainer(ae_task, ae_loader, args.ae_iterations, mesh, f"ae{suffix}")
     ae_ckpt = os.path.join(p["dir"], f"ae{suffix}.msgpack")
-    save_checkpoint(ae_state, ae_ckpt)
+    centers_path = os.path.join(p["dir"], f"pqae{suffix}_centers.npy")
+    label_paths = {s: os.path.join(p["dir"], f"pqae{suffix}_labels.{s}") for s in ("trn", "tst")}
+
+    # Skip guards (VERDICT r3 item 2): the AE tokenizer and k-means centers
+    # are committed durable artifacts — loading them turns a VM-recycle
+    # recovery from ~25 min of retraining/refitting into a pure label-assign
+    # pass, and a re-invocation with everything present into a no-op.
+    # --retrain-targets forces the full pipeline.
+    if not args.retrain_targets and all(os.path.exists(f) for f in label_paths.values()):
+        print(f"targets: pqae{suffix} labels exist, skipping (--retrain-targets forces)", flush=True)
+        return
+    if not args.retrain_targets and os.path.exists(ae_ckpt):
+        print(f"targets: loading committed AE tokenizer {ae_ckpt}", flush=True)
+    else:
+        print(f"targets: AE tokenizer + k-means (PQ-AE{suffix})", flush=True)
+        ae_cfg = AutoencoderConfig(type="ae", base_channels=32, decoder_base_channels=128)
+        ae_task = AutoencoderTask(
+            ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed,
+                                   denoising=dn)
+        )
+        ae_ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
+        ae_loader = DataLoader(ae_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
+                               shuffle=True, num_workers=4)
+        _, ae_state = run_trainer(ae_task, ae_loader, args.ae_iterations, mesh, f"ae{suffix}")
+        save_checkpoint(ae_state, ae_ckpt)
 
     ae_def = json.dumps({"type": "ae", "base_channels": 32, "decoder_base_channels": 128})
     encode = init_feature_model(ae_def, ae_ckpt)
 
-    # pass 1: stream the train split, collecting real-content frames to fit
-    # k-means (capped at --max-fit-frames so 50k+ corpora stay in RAM; lines
-    # are iid renders, so the head of the stream is an unbiased sample)
-    fit_chunks, n_fit = [], 0
-    for batch in init_dataset(p["store"], p["trn_lines"], 16, max_width=WIDTH, num_workers=4):
-        frames = np.asarray(encode(jnp.asarray(batch["images"], jnp.float32) / 255.0), np.float32)
-        fit_chunks.append(frames[np.asarray(batch["image_masks"]) == 1])
-        n_fit += fit_chunks[-1].shape[0]
-        if n_fit >= args.max_fit_frames:
-            break
-    fit_feats = np.vstack(fit_chunks)[: args.max_fit_frames]
-    del fit_chunks
-    print(f"  k-means fit set: {fit_feats.shape[0]} frames x {fit_feats.shape[1]} dims", flush=True)
-    centers, _ = fit_minibatch_kmeans(fit_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
-    del fit_feats
-    # persist the centers: labels stay re-derivable (and diagnosable) later
-    np.save(os.path.join(p["dir"], f"pqae{suffix}_centers.npy"), centers)
+    if not args.retrain_targets and os.path.exists(centers_path):
+        print(f"targets: loading committed k-means centers {centers_path}", flush=True)
+        centers = np.load(centers_path)
+    else:
+        # pass 1: stream the train split, collecting real-content frames to fit
+        # k-means (capped at --max-fit-frames so 50k+ corpora stay in RAM; lines
+        # are iid renders, so the head of the stream is an unbiased sample)
+        fit_chunks, n_fit = [], 0
+        for batch in init_dataset(p["store"], p["trn_lines"], 16, max_width=WIDTH, num_workers=4):
+            frames = np.asarray(encode(jnp.asarray(batch["images"], jnp.float32) / 255.0), np.float32)
+            fit_chunks.append(frames[np.asarray(batch["image_masks"]) == 1])
+            n_fit += fit_chunks[-1].shape[0]
+            if n_fit >= args.max_fit_frames:
+                break
+        fit_feats = np.vstack(fit_chunks)[: args.max_fit_frames]
+        del fit_chunks
+        print(f"  k-means fit set: {fit_feats.shape[0]} frames x {fit_feats.shape[1]} dims", flush=True)
+        centers, _ = fit_minibatch_kmeans(fit_feats, args.num_clusters, batch_size=8192, epochs=8, seed=args.seed)
+        del fit_feats
+        # persist the centers: labels stay re-derivable (and diagnosable) later
+        np.save(centers_path, centers)
     centers_dev = jnp.asarray(centers)
 
     # pass 2: stream each split again, assigning labels batch by batch
@@ -311,7 +332,7 @@ def stage_targets(args):
             assigned = assigned.reshape(frames.shape[0], frames.shape[1])
             for lid, lmask, la in zip(batch["ids"], batch["image_masks"], assigned):
                 labels[lid] = la[lmask == 1].tolist()
-        save_labels(labels, os.path.join(p["dir"], f"pqae{suffix}_labels.{split}"))
+        save_labels(labels, label_paths[split])
 
 
 def _targets_vqvae(args, p, mesh):
@@ -332,6 +353,11 @@ def _targets_vqvae(args, p, mesh):
     from pero_pretraining_tpu.scripts.produce_vqvae_labels import compute_labels
     from pero_pretraining_tpu.training.checkpoint import save_checkpoint
 
+    vq_ckpt = os.path.join(p["dir"], "vqvae_tok.msgpack")
+    vq_labels = {s: os.path.join(p["dir"], f"vqvae_labels.{s}") for s in ("trn", "tst")}
+    if not getattr(args, "retrain_targets", False) and all(os.path.exists(f) for f in vq_labels.values()):
+        print("targets: vqvae labels exist, skipping (--retrain-targets forces)", flush=True)
+        return
     print("targets: VQ-VAE tokenizer + codebook-index labels", flush=True)
     # The quantizer feedback loop (commitment pulls the encoder toward the
     # codebook while EMA chases the encoder) diverges under a sustained AE
@@ -352,8 +378,16 @@ def _targets_vqvae(args, p, mesh):
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
     loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
                         shuffle=True, num_workers=4)
-    _, state = run_trainer(task, loader, args.ae_iterations, mesh, "vqvae")
-    save_checkpoint(state, os.path.join(p["dir"], "vqvae_tok.msgpack"))
+    if not getattr(args, "retrain_targets", False) and os.path.exists(vq_ckpt):
+        from pero_pretraining_tpu.training.checkpoint import load_checkpoint
+        from pero_pretraining_tpu.training.trainer import Trainer
+
+        print(f"targets: loading committed VQ-VAE tokenizer {vq_ckpt}", flush=True)
+        trainer = Trainer(task, task.training_config, mesh=mesh)
+        state = load_checkpoint(jax.device_get(trainer.init_state(next(iter(loader)))), vq_ckpt)
+    else:
+        _, state = run_trainer(task, loader, args.ae_iterations, mesh, "vqvae")
+        save_checkpoint(state, vq_ckpt)
 
     variables = {"params": jax.device_get(state.params), **jax.device_get(state.model_state)}
     for split, lines_path in (("trn", p["trn_lines"]), ("tst", p["tst_lines"])):
