@@ -35,6 +35,10 @@ commit_ckpt () { # durability: expensive 48k pretrains survive a VM recycle
   git add -f "$1" && git commit -m "$2" || true
 }
 
+# A. Corpus image store (wiped by VM recycles; re-renders bit-identically
+#    from the committed text + seed).
+[ -f $D/images.sqlite ] || run $BASE --stage corpus
+
 # B. Targets shared by the ViT and VggT masked_dn pretrains.
 [ -f $D/pqae_dn_labels.trn ] || run $BASE --stage targets --objective masked_dn
 
