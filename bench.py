@@ -53,6 +53,8 @@ import time
 
 import numpy as np
 
+T0 = time.monotonic()
+
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", 16))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 2048))
 NUM_LABELS = int(os.environ.get("BENCH_LABELS", 4096))
@@ -63,10 +65,14 @@ BASELINE_CACHE = os.path.join(_HERE, "BENCH_BASELINE.json")
 DETAILS_PATH = os.environ.get("BENCH_DETAILS_PATH", os.path.join(_HERE, "BENCH_DETAILS.json"))
 BENCH_DATA_DIR = os.environ.get("BENCH_DATA_DIR", os.path.join(_HERE, ".bench_data"))
 
-# Per-leg wall-clock budgets (seconds). "build" covers import+compile+warmup
-# (first XLA compile on a cold cache is ~20-40s; the tunnel can add more).
+# Per-leg wall-clock budgets (seconds). "build" covers import+compile+warmup:
+# first XLA compile on a cold cache is ~20-40s, and the axon relay's
+# size-independent FIRST-D2H handshake alone costs 150-370s per process
+# (observed round 4: 420s was not always enough for handshake+compile, so
+# the build budget is 600 — the first headline line still lands well inside
+# the 900s global deadline at 600 + ~60s of device_resident trials).
 LEG_BUDGETS = {
-    "build": 420.0,
+    "build": 600.0,
     "device_resident": 150.0,
     "scan_fused": 150.0,
     "e2e_dispatch": 150.0,
@@ -195,11 +201,15 @@ def _build():
     batches = [
         synthetic_masked_batch(rng, batch_size=BATCH_SIZE, width=WIDTH, num_labels=NUM_LABELS) for _ in range(4)
     ]
+    print(f"[build] imports+data ready t+{time.monotonic() - T0:.0f}s", file=sys.stderr, flush=True)
     state = trainer.init_state(batches[0])
-    # warmup: compile + establish the D2H channel
+    print(f"[build] init_state done t+{time.monotonic() - T0:.0f}s", file=sys.stderr, flush=True)
+    # warmup: compile + establish the D2H channel (the first float() pays the
+    # relay's 150-370s first-D2H handshake — see LEG_BUDGETS comment)
     for i in range(3):
         state, metrics = trainer.train_step(state, batches[i % 4])
     float(metrics["loss"])
+    print(f"[build] warmup+D2H done t+{time.monotonic() - T0:.0f}s", file=sys.stderr, flush=True)
     return trainer, batches, mesh, state
 
 

@@ -228,12 +228,16 @@ class TrainingConfig:
     # N > 0: skip (zero) optimizer updates when grads are non-finite; the
     # Trainer aborts loudly after N consecutive skipped steps; 0 = off
     skip_nonfinite: int = 0
-    # Adam moment storage: "float32" (default), "bfloat16" (halves the
-    # optimizer-state HBM traffic — the fused Adam update is 34.5% of the
-    # flagship step at HBM roofline; see docs/PROFILE.md), or "int8"
-    # (blockwise-quantized moments, 4x less traffic / 2 bytes per param of
-    # optimizer state; trainer.py::scale_by_adam_8bit)
-    moments_dtype: str = "float32"
+    # Adam moment storage: "bfloat16" (default — halves the optimizer-state
+    # HBM traffic; the fused Adam update is 34.5% of the flagship step at HBM
+    # roofline, see docs/PROFILE.md; qualified for default-on by a 1000-step
+    # flagship A/B with identical batches: final-loss gap 0.01% relative,
+    # max in-curve gap 0.33%, docs/bench_moments_parity.json), "float32"
+    # (the reference's plain torch Adam numerics — required to RESUME a full
+    # train-state checkpoint saved under the old fp32 default, since the
+    # optimizer tree structure differs), or "int8" (blockwise-quantized
+    # moments, 4x less traffic; trainer.py::scale_by_adam_8bit)
+    moments_dtype: str = "bfloat16"
     # ZeRO-1: partition optimizer state (Adam moments) over the `data` mesh
     # axis — GSPMD reduce-scatters grads into the update and all-gathers the
     # param deltas; per-chip optimizer HBM traffic divides by the data size

@@ -45,7 +45,19 @@ def load_checkpoint(template: TrainState, path: str) -> TrainState:
     """Restore into the structure of `template` (shapes/dtypes must match)."""
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(template, data)
+    try:
+        return serialization.from_bytes(template, data)
+    except (ValueError, KeyError) as e:
+        # the most common structure mismatch: the checkpoint's Adam moment
+        # storage differs from this run's --moments-dtype (the optimizer
+        # trees differ between float32 optax.adam and the bf16/int8 low-mem
+        # transforms; the default flipped fp32 -> bf16 in round 4)
+        raise ValueError(
+            f"checkpoint {path} does not match this run's train-state "
+            "structure. If it was saved under a different --moments-dtype "
+            "(e.g. the pre-round-4 float32 default), rerun with the matching "
+            "--moments-dtype to resume it."
+        ) from e
 
 
 def _list_checkpoints(checkpoints_directory: str):

@@ -155,3 +155,44 @@ def test_chained_opt_state_checkpoint_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(float(m1["loss"]), float(m2["loss"]))
     for a, b in zip(jax.tree_util.tree_leaves(cont.params), jax.tree_util.tree_leaves(rest.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_default_moments_dtype_is_bfloat16(rng):
+    """Round-4 default flip, qualified by docs/bench_moments_parity.json
+    (1000-step flagship A/B: final-loss gap 0.01% relative): the default
+    config must store Adam moments in bfloat16."""
+    import jax.numpy as jnp
+
+    assert TrainingConfig().moments_dtype == "bfloat16"
+    trainer, batch = _setup(rng)  # KNOBS inherits the default
+    state = trainer.init_state(batch)
+    mu_dtypes = {
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(leaf, "dtype") and leaf.dtype in (jnp.bfloat16, jnp.float32) and leaf.ndim >= 2
+    }
+    assert jnp.bfloat16 in mu_dtypes
+
+
+def test_moments_dtype_mismatch_restore_raises_actionable_error(rng, tmp_path):
+    """Restoring a checkpoint saved under a different --moments-dtype (e.g.
+    the pre-round-4 float32 default) must fail with a message that names the
+    fix, not a bare flax structure error."""
+    import dataclasses
+
+    import pytest
+
+    cfg32 = dataclasses.replace(KNOBS, moments_dtype="float32")
+    task32 = MaskedTask(BACKBONE, HEAD, cfg32)
+    mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
+    trainer32 = Trainer(task32, cfg32, mesh=mesh)
+    batch = synthetic_masked_batch(rng, batch_size=4, width=256, num_labels=50)
+    state32 = trainer32.init_state(batch)
+    state32, _ = trainer32.train_step(state32, batch)
+    path = str(tmp_path / "ckpt_fp32.msgpack")
+    save_checkpoint(state32, path)
+
+    trainer_bf16, _ = _setup(rng)  # KNOBS uses the bfloat16 default
+    template = trainer_bf16.init_state(batch)
+    with pytest.raises(ValueError, match="moments-dtype"):
+        load_checkpoint(template, path)

@@ -14,6 +14,11 @@ protocol on a locally rendered printed-text analogue (data/render.py):
              pretrained backbone; append test CER to the summary,
 5. beam:     re-decode the best leg with prefix beam search + char-LM fusion.
 
+All study TrainingConfigs pin moments_dtype="float32": the committed
+tables in docs/RENDERED_EXPERIMENT.md were produced under the old fp32
+default, and the pin keeps every row exactly reproducible after the
+framework default flipped to bfloat16 (docs/bench_moments_parity.json).
+
 Stages are independent processes sharing artifacts under docs/demo/
 rendered_corpus/ — run long experiments one stage per process (a
 multi-hour single process accumulates host memory on tunneled-TPU
@@ -289,7 +294,7 @@ def stage_targets(args):
         ae_cfg = AutoencoderConfig(type="ae", base_channels=32, decoder_base_channels=128)
         ae_task = AutoencoderTask(
             ae_cfg, TrainingConfig(learning_rate=3e-4, warmup_iterations=0, batch_size=16, seed=args.seed,
-                                   denoising=dn)
+                                   denoising=dn, moments_dtype="float32")
         )
         ae_ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
         ae_loader = DataLoader(ae_ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
@@ -374,7 +379,8 @@ def _targets_vqvae(args, p, mesh):
     task = AutoencoderTask(vq_cfg, TrainingConfig(learning_rate=5e-5, warmup_iterations=500,
                                                   schedule="cosine", min_lr_fraction=0.05,
                                                   end_iteration=args.ae_iterations,
-                                                  batch_size=16, seed=args.seed))
+                                                  batch_size=16, seed=args.seed,
+                                                  moments_dtype="float32"))
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH)
     loader = DataLoader(ds, BatchCreator(pad_to=WIDTH, seed=args.seed), batch_size=16,
                         shuffle=True, num_workers=4)
@@ -426,7 +432,7 @@ def stage_pretrain(args):
     print(f"pretrain: masked {bb['type']} on {labels_prefix} labels (seed {pt_seed})", flush=True)
     backbone_cfg = BackboneConfig(**bb)
     m_training = TrainingConfig(learning_rate=3e-4, warmup_iterations=args.pretrain_warmup, batch_size=16,
-                                masking_prob=0.3, seed=pt_seed,
+                                masking_prob=0.3, seed=pt_seed, moments_dtype="float32",
                                 unmasked_weight=args.unmasked_weight if args.unmasked_weight > 0 else None)
     m_task = MaskedTask(backbone_cfg, HeadConfig(in_features=bb["model_dim"], out_features=args.num_clusters),
                         m_training)
@@ -467,7 +473,8 @@ def _pretrain_joint(args, p, mesh, loss_type):
     head_cfg = HeadConfig(type="mlp", in_features=bb["model_dim"], out_features=1024,
                           hidden_dim=1024, num_layers=3)
     pt_seed = _pretrain_rng_seed(args)
-    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=pt_seed)
+    training = TrainingConfig(learning_rate=3e-4, warmup_iterations=200, batch_size=16, seed=pt_seed,
+                              moments_dtype="float32")
     task = JointEmbeddingTask(backbone_cfg, head_cfg, training, loss_type=loss_type)
     ds = LinesDataset(p["store"], p["trn_lines"], max_width=WIDTH, pair_images=True,
                       augmentations=build_augmentations("light"))
@@ -515,7 +522,7 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
     ft_seed = args.seed if args.finetune_seed is None else args.finetune_seed
     trn_tsv = _budget_tsv(args, budget)
     training = TrainingConfig(learning_rate=2e-4, warmup_iterations=500, batch_size=16, seed=ft_seed,
-                              end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05,
+                              end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05, moments_dtype="float32",
                               backbone_lr_scale=lr_scale if mode == "pretrained" else 1.0)
     charset = Charset(corpus_charset())
     task = CTCTask(BackboneConfig(**_backbone_dict(args)), charset, training)
