@@ -233,10 +233,12 @@ class TrainingConfig:
     # roofline, see docs/PROFILE.md; qualified for default-on by a 1000-step
     # flagship A/B with identical batches: final-loss gap 0.01% relative,
     # max in-curve gap 0.33%, docs/bench_moments_parity.json), "float32"
-    # (the reference's plain torch Adam numerics — required to RESUME a full
-    # train-state checkpoint saved under the old fp32 default, since the
-    # optimizer tree structure differs), or "int8" (blockwise-quantized
-    # moments, 4x less traffic; trainer.py::scale_by_adam_8bit)
+    # (the reference's plain torch Adam numerics — use it to RESUME a full
+    # train-state checkpoint saved under the old fp32 default: the fp32 and
+    # bf16 states are structurally identical but checkpoint restore verifies
+    # leaf dtypes and raises on a cross-dtype load), or "int8"
+    # (blockwise-quantized moments, 4x less traffic — this state IS
+    # structurally different; trainer.py::scale_by_adam_8bit)
     moments_dtype: str = "bfloat16"
     # ZeRO-1: partition optimizer state (Adam moments) over the `data` mesh
     # axis — GSPMD reduce-scatters grads into the update and all-gathers the

@@ -67,8 +67,9 @@ def add_optimizer_arguments(parser) -> None:
                         help="Adam moment storage dtype. bfloat16 (default; qualified by a 1000-step "
                              "flagship A/B, docs/bench_moments_parity.json) halves optimizer-state HBM "
                              "traffic (the fused Adam update runs at HBM roofline, ~1/3 of the flagship "
-                             "step); float32 matches the reference's torch Adam numerics and is required "
-                             "to resume full-state checkpoints saved under the old fp32 default; int8 "
+                             "step); float32 matches the reference's torch Adam numerics — use it to "
+                             "resume full-state checkpoints saved under the old fp32 default (restore "
+                             "verifies moment dtypes and raises on a cross-dtype load); int8 "
                              "stores blockwise-quantized moments (4x less traffic, 2 bytes/param of "
                              "optimizer state). Compute stays fp32 for all.")
     parser.add_argument("--shard-opt-state", action="store_true",

@@ -41,23 +41,73 @@ def save_checkpoint(state: TrainState, path: str) -> str:
     return _write_state(jax.device_get(state), path)
 
 
-def load_checkpoint(template: TrainState, path: str) -> TrainState:
-    """Restore into the structure of `template` (shapes/dtypes must match)."""
+def _dtype_mismatches(template, restored):
+    """[(path, template_dtype, restored_dtype)] for leaves whose dtype differs.
+
+    flax `from_bytes` restores arrays with the dtype STORED in the file, not
+    the template's — and the fp32 `optax.adam` state and the bf16
+    `scale_by_adam_lowmem` state are structurally IDENTICAL (only leaf dtypes
+    differ), so a cross---moments-dtype restore succeeds silently and the
+    next step truncates the moments. This explicit check is what turns that
+    silent precision change into an actionable error (round-4 advisor
+    finding: the old structure-error guard was dead code)."""
+    t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    r_leaves = jax.tree_util.tree_leaves(restored)
+    out = []
+    for (path, t), r in zip(t_leaves, r_leaves):
+        td, rd = getattr(t, "dtype", None), getattr(r, "dtype", None)
+        if td is not None and rd is not None and td != rd:
+            out.append((jax.tree_util.keystr(path), td, rd))
+    return out
+
+
+def load_checkpoint(template: TrainState, path: str, cast_dtypes: bool = False) -> TrainState:
+    """Restore into the structure of `template`.
+
+    Leaf dtypes are verified against the template after the restore: a
+    mismatch (e.g. an fp32-moments checkpoint loaded into a bf16-default run
+    — the trees are structurally identical, only dtypes differ) raises an
+    actionable error naming the fix, unless `cast_dtypes=True` deliberately
+    casts the restored leaves to the template's dtypes (with a warning)."""
     with open(path, "rb") as f:
         data = f.read()
     try:
-        return serialization.from_bytes(template, data)
+        restored = serialization.from_bytes(template, data)
     except (ValueError, KeyError) as e:
-        # the most common structure mismatch: the checkpoint's Adam moment
-        # storage differs from this run's --moments-dtype (the optimizer
-        # trees differ between float32 optax.adam and the bf16/int8 low-mem
-        # transforms; the default flipped fp32 -> bf16 in round 4)
+        # genuine structure mismatch — e.g. an int8-moments state
+        # (ScaleByAdam8bitState) has different fields than fp32/bf16 Adam
         raise ValueError(
             f"checkpoint {path} does not match this run's train-state "
             "structure. If it was saved under a different --moments-dtype "
-            "(e.g. the pre-round-4 float32 default), rerun with the matching "
-            "--moments-dtype to resume it."
+            "(int8 vs float32/bfloat16 states differ structurally), rerun "
+            "with the matching --moments-dtype to resume it."
         ) from e
+    mismatches = _dtype_mismatches(template, restored)
+    if mismatches:
+        if cast_dtypes:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "load_checkpoint: casting %d leaves to the run's dtypes (first: %s %s->%s); "
+                "numerics will differ from a native-dtype resume",
+                len(mismatches), *mismatches[0],
+            )
+            import jax.numpy as jnp
+
+            return jax.tree_util.tree_map(
+                lambda t, r: r.astype(t.dtype) if hasattr(t, "dtype") and hasattr(r, "dtype") else r,
+                template,
+                restored,
+            )
+        shown = ", ".join(f"{p}: {rd} (run wants {td})" for p, td, rd in mismatches[:3])
+        raise ValueError(
+            f"checkpoint {path} was saved with different leaf dtypes than this run uses "
+            f"({len(mismatches)} leaves, e.g. {shown}). Most likely it was saved under a "
+            "different --moments-dtype (the pre-round-4 default was float32; the current "
+            "default is bfloat16) — rerun with the matching --moments-dtype to resume it "
+            "natively, or pass cast_dtypes=True to load_checkpoint to convert deliberately."
+        )
+    return restored
 
 
 def _list_checkpoints(checkpoints_directory: str):

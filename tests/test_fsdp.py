@@ -50,10 +50,12 @@ def test_fsdp_train_step_matches_replicated(rng):
     # ... and so must the Adam moments AT INIT (GSPMD propagation through
     # jit(tx.init) is not guaranteed; init_state pins moments to their
     # param's placement explicitly — the 234M memory bench measured
-    # replicated-moment init costing 1.86 vs 0.33 GiB/device)
+    # replicated-moment init costing 1.86 vs 0.33 GiB/device). Moment dtype
+    # follows --moments-dtype (bf16 is the default since round 4), so filter
+    # on floating moments of any storage precision, not fp32 only.
     moment_matrices = [
         l for l in jax.tree_util.tree_leaves(s8.opt_state)
-        if getattr(l, "ndim", 0) >= 2 and l.dtype == jnp.float32
+        if getattr(l, "ndim", 0) >= 2 and l.dtype in (jnp.float32, jnp.bfloat16)
         and len(l.addressable_shards) and l.addressable_shards[0].data.size < l.size
     ]
     assert moment_matrices, "no Adam moment was physically partitioned at FSDP init"
