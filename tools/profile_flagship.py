@@ -29,13 +29,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def capture(steps: int, outdir: str, backbone: str = "vit") -> float:
+def capture(steps: int, outdir: str, backbone: str = "vit", moments_dtype: str = "float32") -> float:
     import jax
 
     from step_ablation import build
     from pero_pretraining_tpu.parallel.sharding import shard_batch_leading
 
-    trainer, batches, mesh = build(backbone_type=backbone)
+    trainer, batches, mesh = build(backbone_type=backbone, moments_dtype=moments_dtype)
     state = trainer.init_state(batches[0])
     stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *(batches * (steps // 4)))
     sdev = shard_batch_leading(stacked, mesh)
@@ -117,9 +117,14 @@ def main():
     p.add_argument("--report", default="docs/flagship_trace_ops.json")
     p.add_argument("--backbone", default="vit", choices=("vit", "vggt"),
                    help="vggt traces the VGG-conv-frontend hybrid (same b16 w2048 workload)")
+    p.add_argument("--moments-dtype", default="float32", choices=("float32", "bfloat16", "int8"),
+                   help="Adam moment storage for the traced step (bfloat16 = the shipped "
+                        "framework default since round 4; float32 matches the original "
+                        "committed breakdown in docs/PROFILE.md)")
     args = p.parse_args()
 
-    wall_ms = capture(args.steps, args.outdir, backbone=args.backbone)
+    wall_ms = capture(args.steps, args.outdir, backbone=args.backbone,
+                      moments_dtype=args.moments_dtype)
     print(f"wall: {wall_ms:.3f} ms/step (scan-fused K={args.steps})")
     trace_path = find_trace_file(args.outdir)
     if trace_path is None:

@@ -125,6 +125,17 @@ def parse_args():
                         "accumulation on tunneled transports.")
     p.add_argument("--pretrain-warmup", type=int, default=1000,
                    help="LR warmup iterations for the pretrain stage")
+    p.add_argument("--pretrain-tag", default="",
+                   help="suffix on the pretrained checkpoint filename and on pretrained-mode leg "
+                        "keys (e.g. _it100k for the paper-budget 100k-iteration pretrain); lets a "
+                        "longer-budget pretrain coexist with the committed 48k artifacts. To "
+                        "warm-start from a committed shorter run, copy it to "
+                        "<pretrained>{tag}.msgpack.part and pass --chunk-iterations.")
+    p.add_argument("--moments-dtype", default="float32", choices=("float32", "bfloat16", "int8"),
+                   help="Adam moment storage for the FINE-TUNE leg (study default float32 keeps the "
+                        "committed tables exactly reproducible across the framework's bf16 default "
+                        "flip). Non-float32 suffixes the leg key (_bf16m/_i8m) — used to qualify "
+                        "the bf16-moments framework default at study scale.")
     p.add_argument("--retrain-targets", action="store_true",
                    help="force the targets stage to retrain the AE tokenizer and refit k-means "
                         "even when committed artifacts (ae*.msgpack / *_centers.npy / labels) exist")
@@ -148,7 +159,7 @@ def _paths(args):
         "ae_ckpt": os.path.join(d, "ae.msgpack"),
         "pretrained": os.path.join(
             d, f"pretrained{'' if args.objective == 'masked' else '_' + args.objective}{_bb_tag(args)}"
-               f"{_ps_tag(args)}.msgpack"),
+               f"{_ps_tag(args)}{getattr(args, 'pretrain_tag', '')}.msgpack"),
         "summary": os.path.join(args.out, "rendered_summary.json"),
     }
 
@@ -451,7 +462,11 @@ def stage_pretrain(args):
                             shuffle=False, num_workers=4)
     m_result = Tester(m_task, tst_loader).test(m_state)
     print(f"  masked tst: loss {m_result['loss']:.4f}, top-1 err {m_result['errors_1']:.3f}", flush=True)
-    _update_summary(p["summary"], f"masked{suffix}{_bb_tag(args)}{_ps_tag(args)}_test", m_result)
+    _update_summary(
+        p["summary"],
+        f"masked{suffix}{_bb_tag(args)}{_ps_tag(args)}{getattr(args, 'pretrain_tag', '')}_test",
+        m_result,
+    )
     vis = MaskedVisualizer(m_task, tst_loader, show_masked_images=True)
     write_png(os.path.join(args.out, "rendered_masked_predictions.png"), vis.visualize(m_state)[:800])
 
@@ -522,7 +537,8 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
     ft_seed = args.seed if args.finetune_seed is None else args.finetune_seed
     trn_tsv = _budget_tsv(args, budget)
     training = TrainingConfig(learning_rate=2e-4, warmup_iterations=500, batch_size=16, seed=ft_seed,
-                              end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05, moments_dtype="float32",
+                              end_iteration=iterations, schedule="cosine", min_lr_fraction=0.05,
+                              moments_dtype=getattr(args, "moments_dtype", "float32"),
                               backbone_lr_scale=lr_scale if mode == "pretrained" else 1.0)
     charset = Charset(corpus_charset())
     task = CTCTask(BackboneConfig(**_backbone_dict(args)), charset, training)
@@ -557,7 +573,11 @@ def _finetune(args, budget, mode, lr_scale, iterations=None):
 def _leg_key(args):
     obj = "" if (args.mode == "scratch" or args.objective == "masked") else f"_{args.objective}"
     ps = _ps_tag(args) if args.mode == "pretrained" else ""
-    key = f"{args.mode}{obj}{_bb_tag(args)}{ps}_{args.budget}"
+    pt_tag = getattr(args, "pretrain_tag", "") if args.mode == "pretrained" else ""
+    key = f"{args.mode}{obj}{_bb_tag(args)}{ps}{pt_tag}_{args.budget}"
+    moments = getattr(args, "moments_dtype", "float32")
+    if moments != "float32":
+        key += {"bfloat16": "_bf16m", "int8": "_i8m"}[moments]
     if args.mode == "pretrained" and args.backbone_lr_scale != 1.0:
         key += f"_bbs{args.backbone_lr_scale:g}"
     if args.finetune_iterations != 10000:
