@@ -276,7 +276,14 @@ def _build():
     from pero_pretraining_tpu.training.trainer import Trainer
 
     task = MaskedTask(
-        BackboneConfig(type="vit"), HeadConfig(out_features=NUM_LABELS), TrainingConfig(masking_prob=0.15, bfloat16=True)
+        BackboneConfig(type="vit"),
+        HeadConfig(out_features=NUM_LABELS),
+        # bf16 moments pinned explicitly: bench measures the recommended
+        # throughput configuration of the PRETRAINING workload, where the
+        # 1000-step A/B qualified it (docs/bench_moments_parity.json). The
+        # framework DEFAULT is float32 (r5 revert: -1.15 CER measured on
+        # budgeted CTC fine-tunes, docs/RENDERED_EXPERIMENT.md).
+        TrainingConfig(masking_prob=0.15, bfloat16=True, moments_dtype="bfloat16"),
     )
     mesh = create_mesh(MeshConfig(data=1, model=1), devices=jax.devices()[:1])
     trainer = Trainer(task, task.training_config, mesh=mesh)

@@ -228,18 +228,21 @@ class TrainingConfig:
     # N > 0: skip (zero) optimizer updates when grads are non-finite; the
     # Trainer aborts loudly after N consecutive skipped steps; 0 = off
     skip_nonfinite: int = 0
-    # Adam moment storage: "bfloat16" (default — halves the optimizer-state
-    # HBM traffic; the fused Adam update is 34.5% of the flagship step at HBM
-    # roofline, see docs/PROFILE.md; qualified for default-on by a 1000-step
-    # flagship A/B with identical batches: final-loss gap 0.01% relative,
-    # max in-curve gap 0.33%, docs/bench_moments_parity.json), "float32"
-    # (the reference's plain torch Adam numerics — use it to RESUME a full
-    # train-state checkpoint saved under the old fp32 default: the fp32 and
-    # bf16 states are structurally identical but checkpoint restore verifies
-    # leaf dtypes and raises on a cross-dtype load), or "int8"
-    # (blockwise-quantized moments, 4x less traffic — this state IS
-    # structurally different; trainer.py::scale_by_adam_8bit)
-    moments_dtype: str = "bfloat16"
+    # Adam moment storage. Default "float32": the reference's plain torch
+    # Adam numerics. "bfloat16" halves the optimizer-state HBM traffic (the
+    # fused Adam update is ~1/3 of the flagship step at HBM roofline —
+    # docs/PROFILE.md; +5.3% wall / -0.11 ms device measured) and is the
+    # recommended OPT-IN for long pretraining runs, where a 1000-step
+    # flagship A/B measured parity (final-loss gap 0.01% relative,
+    # docs/bench_moments_parity.json). It was the shipped default for one
+    # round (r4) and was REVERTED in r5: at study scale the budgeted CTC
+    # fine-tune measured +1.15 CER points under bf16 moments (0.0652/0.0655
+    # vs fp32's 0.0538/0.0539 over 2 seeds — docs/RENDERED_EXPERIMENT.md),
+    # so the quality-first reference numerics are the default and the
+    # throughput path is explicit. "int8" = blockwise-quantized moments, 4x
+    # less traffic (trainer.py::scale_by_adam_8bit; structurally different
+    # opt-state — cross-dtype resume fails loudly either way, checkpoint.py).
+    moments_dtype: str = "float32"
     # ZeRO-1: partition optimizer state (Adam moments) over the `data` mesh
     # axis — GSPMD reduce-scatters grads into the update and all-gathers the
     # param deltas; per-chip optimizer HBM traffic divides by the data size

@@ -63,15 +63,16 @@ def add_optimizer_arguments(parser) -> None:
     parser.add_argument("--skip-nonfinite", type=int, default=0,
                         help="Skip (zero) updates with non-finite grads — params are never poisoned — "
                              "and abort loudly after N consecutive skipped steps (0 = off).")
-    parser.add_argument("--moments-dtype", default="bfloat16", choices=("float32", "bfloat16", "int8"),
-                        help="Adam moment storage dtype. bfloat16 (default; qualified by a 1000-step "
-                             "flagship A/B, docs/bench_moments_parity.json) halves optimizer-state HBM "
-                             "traffic (the fused Adam update runs at HBM roofline, ~1/3 of the flagship "
-                             "step); float32 matches the reference's torch Adam numerics — use it to "
-                             "resume full-state checkpoints saved under the old fp32 default (restore "
-                             "verifies moment dtypes and raises on a cross-dtype load); int8 "
-                             "stores blockwise-quantized moments (4x less traffic, 2 bytes/param of "
-                             "optimizer state). Compute stays fp32 for all.")
+    parser.add_argument("--moments-dtype", default="float32", choices=("float32", "bfloat16", "int8"),
+                        help="Adam moment storage dtype. float32 (default) matches the reference's "
+                             "torch Adam numerics. bfloat16 halves optimizer-state HBM traffic "
+                             "(+5.3%% wall on the flagship step) and is the recommended opt-in for "
+                             "long PRETRAINING runs (1000-step flagship A/B parity, "
+                             "docs/bench_moments_parity.json) — but measured +1.15 CER points on a "
+                             "budgeted CTC fine-tune (docs/RENDERED_EXPERIMENT.md), which is why it "
+                             "is not the default. int8 stores blockwise-quantized moments (4x less "
+                             "traffic, 2 bytes/param). Compute stays fp32 for all; checkpoint "
+                             "restore verifies moment dtypes and raises on a cross-dtype load.")
     parser.add_argument("--shard-opt-state", action="store_true",
                         help="ZeRO-1: partition optimizer state over the data mesh axis "
                              "(reduce-scatter grads into the Adam update, all-gather param deltas); "

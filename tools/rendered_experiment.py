@@ -230,8 +230,13 @@ def run_trainer(task, loader, iterations, mesh, log_name, steps_per_call=10, par
             batches = (numeric_batch(b) for b in loader.stream(len(loader) + start))
         else:
             batches = _stream(loader)
+        # heartbeat period: ~iterations/12, floored at 500, rounded DOWN to a
+        # multiple of steps_per_call (fit() requires divisibility; 100000//12
+        # = 8333 crashed the 100k rung until rounded)
+        view = max(iterations // 12, 500)
+        view = max(view - view % steps_per_call, steps_per_call)
         state = trainer.fit(state, batches, start_iteration=start, end_iteration=end,
-                            view_step=max(iterations // 12, 500), steps_per_call=steps_per_call)
+                            view_step=view, steps_per_call=steps_per_call)
     if part_path and end < iterations:
         save_checkpoint(state, part_path)
         print(f"  {log_name}: part {end}/{iterations} in {time.time() - t0:.1f}s; rerun stage to continue",

@@ -27,7 +27,7 @@ BASE="python tools/rendered_experiment.py --out $OUT \
   --n-unlabeled 50000 --n-test 1000 --ae-iterations 4000 --pretrain-iterations 48000"
 CH="--chunk-iterations 12000"
 
-run () { echo "=== $(date +%H:%M:%S) $*" ; "$@" ; echo "--- rc=$?" ; }
+run () { echo "=== $(date +%H:%M:%S) $*" ; "$@" ; local rc=$? ; echo "--- rc=$rc" ; return $rc ; }
 have () { python - "$1" <<'PY'
 import json, sys
 try:
@@ -41,13 +41,11 @@ commit_ckpt () { # durability: expensive pretrains must survive a VM recycle
   git add -f "$1" && git commit -m "$2" || true
 }
 
-# 0. Live bench (also the BENCH_DETAILS regeneration the r4 advisor asked for).
-[ -f BENCH_DETAILS.json ] && python - <<'PY'
-import json
-d = json.load(open("BENCH_DETAILS.json"))
-print("pre-queue BENCH_DETAILS keys:", sorted(d))
-PY
-run timeout 1100 python bench.py
+# 0. Live bench (also the BENCH_DETAILS regeneration the r4 advisor asked
+#    for). Guarded: skip once a full capture (device_resident key) exists so
+#    a queue relaunch does not overwrite a good capture with a noisier one.
+grep -q device_resident_lines_per_sec BENCH_DETAILS.json 2>/dev/null || \
+  run timeout 1100 python bench.py
 
 # A/B. Corpus store + targets.
 [ -f $D/images.sqlite ] || run $BASE --stage corpus
