@@ -16,8 +16,9 @@ import sys
 from collections import defaultdict
 
 KEY_RE = re.compile(
-    r"^(?P<mode>(?:scratch|pretrained)(?:_[a-z_]+?)?)(?:_ps(?P<pseed>\d+))?_(?P<budget>\d+)"
-    r"(?:_bbs(?P<bbs>[\d.]+))?(?:_it(?P<iters>\d+))?(?:_s(?P<seed>\d+))?"
+    r"^(?P<mode>(?:scratch|pretrained)(?:_[a-z_]+?)?)(?:_ps(?P<pseed>\d+))?"
+    r"(?:_(?P<ptag>(?:it|c)\d+k))?_(?P<budget>\d+)"
+    r"(?:_bbs(?P<bbs>[\d.]+))?(?:_it(?P<iters>\d+))?(?P<moments>_(?:bf16|i8)m)?(?:_s(?P<seed>\d+))?"
     r"(?P<beam>_beam_lm)?$"
 )
 
@@ -34,6 +35,11 @@ def parse(summary: dict):
         mode = m.group("mode")
         if m.group("pseed"):  # pretraining-seed robustness legs: own row
             mode += f" (pretrain seed {m.group('pseed')})"
+        if m.group("ptag"):  # scaled pretrain budget: _it100k (iterations) / _c100k (corpus lines)
+            kind = "iters" if m.group("ptag").startswith("it") else "corpus"
+            mode += f" ({m.group('ptag').lstrip('itc')} {kind})"
+        if m.group("moments"):  # non-default Adam moment storage A/B legs
+            mode += f" ({m.group('moments').strip('_')})"
         mode += " +beam+LM" if m.group("beam") else ""
         legs[(mode, int(m.group("budget")))].append((seed, float(value["cer"])))
     return legs
@@ -67,7 +73,7 @@ def main(path: str):
     for mode, b in sorted(legs, key=lambda k: (k[1], k[0])):
         if not mode.startswith("pretrained") or "beam" in mode:
             continue
-        tag = next((f"_{t}" for t in ("vggt",) if mode.endswith(f"_{t}")), "")
+        tag = next((f"_{t}" for t in ("vggt",) if f"_{t}" in mode), "")
         sk = (f"scratch{tag}", b)
         if sk not in legs:
             continue
