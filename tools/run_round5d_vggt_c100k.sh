@@ -1,0 +1,48 @@
+#!/bin/bash
+# Round-5 opportunistic tail: the VggT on the DATA axis (100k-line corpus,
+# 48k iterations) — completes the backbone x scaling-axis matrix. Same
+# protocol as run_round5b_corpus100k.sh: committed tokenizer, fine-tune and
+# evaluate on the unchanged 50k-study budgets/test set (tag _c100k).
+# Artifact-guarded; safe to re-launch; commits the pretrain on completion.
+set -u
+cd "$(dirname "$0")/.."
+OUT=docs/demo/rendered100k
+D=$OUT/rendered_corpus
+D50=docs/demo/rendered50k/rendered_corpus
+BASE="python tools/rendered_experiment.py --out $OUT \
+  --n-unlabeled 100000 --n-test 1000 --ae-iterations 4000 --pretrain-iterations 48000"
+B50="python tools/rendered_experiment.py --out docs/demo/rendered50k \
+  --n-unlabeled 50000 --n-test 1000 --ae-iterations 4000 --pretrain-iterations 48000"
+run () { echo "=== $(date +%H:%M:%S) $*" ; "$@" ; local rc=$? ; echo "--- rc=$rc" ; return $rc ; }
+have () { python - "$1" <<'PY'
+import json, sys
+try:
+    d = json.load(open("docs/demo/rendered50k/rendered_summary.json"))
+except FileNotFoundError:
+    sys.exit(1)
+sys.exit(0 if sys.argv[1] in d else 1)
+PY
+}
+
+[ -f $D/pqae_dn_labels.trn ] || { echo "run run_round5b_corpus100k.sh first"; exit 1; }
+PT=$D/pretrained_masked_dn_vggt.msgpack
+until [ -f $PT ]; do
+  run $BASE --stage pretrain --objective masked_dn --backbone vggt --chunk-iterations 12000 || break
+done
+[ -f $PT ] || exit 1
+cp $PT $D50/pretrained_masked_dn_vggt_c100k.msgpack
+git add -f $D50/pretrained_masked_dn_vggt_c100k.msgpack && \
+  git commit -m "Commit the 100k-line-corpus 48k-iteration VggT masked_dn pretrain" || true
+
+for b in 192 48; do for s in 0 1; do
+  have "pretrained_masked_dn_vggt_c100k_${b}_s${s}" || \
+    run $B50 --stage finetune --objective masked_dn --mode pretrained --backbone vggt \
+        --pretrain-tag _c100k --budget $b --finetune-seed $s
+done; done
+for b in 192 48; do for s in 0 1; do
+  key="pretrained_masked_dn_vggt_c100k_${b}_s${s}"
+  [ -f $D50/ctc_${key}.msgpack ] && ! have "${key}_beam_lm" && \
+    run $B50 --stage beam --objective masked_dn --mode pretrained --backbone vggt \
+        --pretrain-tag _c100k --budget $b --finetune-seed $s
+done; done
+echo "=== R5D DONE $(date +%H:%M:%S)"
