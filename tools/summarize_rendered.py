@@ -17,7 +17,7 @@ from collections import defaultdict
 
 KEY_RE = re.compile(
     r"^(?P<mode>(?:scratch|pretrained)(?:_[a-z_]+?)?)(?:_ps(?P<pseed>\d+))?"
-    r"(?:_(?P<ptag>(?:it|c)\d+k))?_(?P<budget>\d+)"
+    r"(?:_(?P<ptag>(?:it|c)\d+k(?:_it\d+k)?))?_(?P<budget>\d+)"
     r"(?:_bbs(?P<bbs>[\d.]+))?(?:_it(?P<iters>\d+))?(?P<moments>_(?:bf16|i8)m)?(?:_s(?P<seed>\d+))?"
     r"(?P<beam>_beam_lm)?$"
 )
@@ -35,9 +35,14 @@ def parse(summary: dict):
         mode = m.group("mode")
         if m.group("pseed"):  # pretraining-seed robustness legs: own row
             mode += f" (pretrain seed {m.group('pseed')})"
-        if m.group("ptag"):  # scaled pretrain budget: _it100k (iterations) / _c100k (corpus lines)
-            kind = "iters" if m.group("ptag").startswith("it") else "corpus"
-            mode += f" ({m.group('ptag').lstrip('itc')} {kind})"
+        if m.group("ptag"):  # scaled pretrain budget: _it100k (iterations) /
+            # _c100k (corpus lines) / _c100k_it100k (both axes)
+            tag = m.group("ptag")
+            if "_it" in tag:
+                mode += f" ({tag.split('_')[0].lstrip('c')} corpus, {tag.split('_it')[1]} iters)"
+            else:
+                kind = "iters" if tag.startswith("it") else "corpus"
+                mode += f" ({tag.lstrip('itc')} {kind})"
         if m.group("moments"):  # non-default Adam moment storage A/B legs
             mode += f" ({m.group('moments').strip('_')})"
         mode += " +beam+LM" if m.group("beam") else ""
